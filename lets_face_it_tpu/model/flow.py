@@ -1,0 +1,234 @@
+"""The flow network: K stacked steps (actnorm -> 1x1 mix -> recurrent coupling).
+
+TPU-first design decisions vs. the reference
+(/root/reference/code/glow_pytorch/glow/models.py:217-467):
+
+* All K steps' parameters are **stacked** on a leading axis and traversed with
+  ``lax.scan`` — one compiled step body instead of K unrolled module calls.
+* Every step's conditioning projection (``f_seq.cond_transform``,
+  models.py:187-190) is hoisted out of the per-step scan into a single fused
+  ``[B, F] @ [F, K*cond_dim]`` matmul per frame — K MXU-sized matmuls become
+  one large one.
+* The per-step coupling RNN hidden states are explicit ``[K, B, H]`` arrays
+  threaded through the caller's time scan (the MoGlow stateful-coupling
+  signature, models.py:148-214).
+
+Log-det conventions and coupling math match the reference exactly for NLL
+parity (see core/ops.py docstring).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lets_face_it_tpu.core import ops, rnn
+from lets_face_it_tpu.model.spec import FlowSpec
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def _init_one_step(key, spec: FlowSpec, dtype=jnp.float32):
+    k_perm, k_cond, k_rnn = jax.random.split(key, 3)
+    c = spec.channels
+    params = {"actnorm": ops.init_actnorm(c, dtype)}
+    if spec.permutation == "invconv":
+        params["perm"] = ops.init_invconv_lu(k_perm, c, dtype)
+    else:
+        params["perm"] = ops.init_permute(k_perm, c, spec.permutation == "shuffle")
+
+    rnn_in = spec.z1_dim + spec.cond.cond_dim
+    if spec.rnn_type == "gru":
+        params["rnn"] = rnn.init_gru_cell(k_rnn, rnn_in, spec.hidden_channels, dtype)
+    else:
+        params["rnn"] = rnn.init_lstm_cell(k_rnn, rnn_in, spec.hidden_channels, dtype)
+    params["cond_proj"] = ops.init_linear(
+        k_cond, spec.cond.feature_dim, spec.cond.cond_dim, dtype)
+    params["out"] = ops.init_linear_zeros(
+        spec.hidden_channels, spec.coupling_out_dim, dtype)
+    return params
+
+
+def init_flow(key, spec: FlowSpec, dtype=jnp.float32):
+    """All K steps stacked: every leaf gains a leading [K] axis."""
+    keys = jax.random.split(key, spec.n_steps)
+    steps = [_init_one_step(k, spec, dtype) for k in keys]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *steps)
+
+
+def init_flow_states(spec: FlowSpec, batch_size: int, dtype=jnp.float32):
+    """Fresh (zero) coupling-RNN states for a sequence start: [K, B, H]."""
+    shape = (spec.n_steps, batch_size, spec.hidden_channels)
+    if spec.rnn_type == "gru":
+        return jnp.zeros(shape, dtype)
+    return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def trainable_mask(flow_params):
+    """True for trained leaves, False for frozen buffers (invconv P, sign_s)."""
+    def mask_entry(path, leaf):
+        names = {getattr(p, "key", None) for p in path}
+        return not ({"p", "sign_s"} & names and "perm" in names)
+    return jax.tree_util.tree_map_with_path(mask_entry, flow_params)
+
+
+# ---------------------------------------------------------------------------
+# Per-frame forward / reverse over all K steps
+# ---------------------------------------------------------------------------
+
+def _perm_fwd(spec, p, z, logdet):
+    if spec.permutation == "invconv":
+        return ops.invconv_fwd(p, z, logdet)
+    return ops.permute_fwd(p, z, logdet)
+
+
+def _perm_rev(spec, p, z, logdet):
+    if spec.permutation == "invconv":
+        return ops.invconv_rev(p, z, logdet)
+    return ops.permute_rev(p, z, logdet)
+
+
+def _coupling_net(spec: FlowSpec, p, z1, cond_proj, state):
+    """Run the recurrent transform net; returns (head output, new state).
+
+    cond_proj is this step's pre-projected conditioning [B, cond_dim]
+    (pre-activation); LeakyReLU is applied here (models.py:187-190).
+    """
+    cond_t = jax.nn.leaky_relu(cond_proj, 0.01)
+    rnn_in = jnp.concatenate([z1, cond_t], axis=-1)
+    if spec.rnn_type == "gru":
+        h_new = rnn.gru_cell(p["rnn"], rnn_in, state)
+        new_state = h_new
+    else:
+        h_new, c_new = rnn.lstm_cell(p["rnn"], rnn_in, state)
+        new_state = (h_new, c_new)
+    return ops.linear_zeros(p["out"], h_new), new_state
+
+
+def _apply_coupling_fwd(spec, h, z2, logdet):
+    if spec.coupling == "additive":
+        return z2 + h, logdet
+    shift, scale_raw = ops.split_cross(h)
+    scale = ops.affine_scale(scale_raw, spec.scale_eps)
+    z2 = (z2 + shift) * scale
+    return z2, logdet + jnp.sum(jnp.log(scale), axis=-1)
+
+
+def _apply_coupling_rev(spec, h, z2, logdet):
+    if spec.coupling == "additive":
+        return z2 - h, logdet
+    shift, scale_raw = ops.split_cross(h)
+    scale = ops.affine_scale(scale_raw, spec.scale_eps)
+    z2 = z2 / scale - shift
+    return z2, logdet - jnp.sum(jnp.log(scale), axis=-1)
+
+
+def _project_cond(flow_params, cond):
+    """One fused matmul for all K steps' conditioning projections.
+
+    flow_params['cond_proj']['w']: [K, cond_dim, F] -> cond [B, F] maps to
+    [K, B, cond_dim] (pre-activation).
+    """
+    w = flow_params["cond_proj"]["w"]            # [K, C, F]
+    b = flow_params["cond_proj"]["b"]            # [K, C]
+    proj = jnp.einsum("bf,kcf->kbc", cond, w) + b[:, None, :]
+    return proj
+
+
+def frame_fwd(spec: FlowSpec, flow_params, x, cond, states, *, collect_scales=False):
+    """Encode one frame through all K steps. x: [B, C], cond: [B, F].
+
+    Returns (z, logdet [B], new_states[, scales [K, B, C//2]]).
+    """
+    cond_projs = _project_cond(flow_params, cond)  # [K, B, cond_dim]
+    logdet0 = jnp.zeros(x.shape[:-1], x.dtype)
+
+    def body(carry, step_in):
+        z, logdet = carry
+        p, state, cond_proj = step_in
+        z, logdet = ops.actnorm_fwd(p["actnorm"], z, logdet)
+        z, logdet = _perm_fwd(spec, p["perm"], z, logdet)
+        z1, z2 = ops.split_half(z)
+        h, new_state = _coupling_net(spec, p, z1, cond_proj, state)
+        if collect_scales and spec.coupling == "affine":
+            _, scale_raw = ops.split_cross(h)
+            scale_out = ops.affine_scale(scale_raw, spec.scale_eps)
+        else:
+            scale_out = jnp.zeros((0,), x.dtype)
+        z2, logdet = _apply_coupling_fwd(spec, h, z2, logdet)
+        z = ops.cat_half(z1, z2)
+        return (z, logdet), (new_state, scale_out)
+
+    (z, logdet), (new_states, scales) = jax.lax.scan(
+        body, (x, logdet0), (flow_params, states, cond_projs))
+    if collect_scales:
+        return z, logdet, new_states, scales
+    return z, logdet, new_states
+
+
+def frame_rev(spec: FlowSpec, flow_params, z, cond, states):
+    """Decode one frame: traverse the K steps in reverse order.
+
+    Each step's coupling RNN still advances its own private state exactly once
+    per frame, so reverse traversal threads states identically to the
+    reference's decode path (models.py:345-373, 453-462).
+    """
+    cond_projs = _project_cond(flow_params, cond)
+    logdet0 = jnp.zeros(z.shape[:-1], z.dtype)
+
+    def body(carry, step_in):
+        z, logdet = carry
+        p, state, cond_proj = step_in
+        z1, z2 = ops.split_half(z)
+        h, new_state = _coupling_net(spec, p, z1, cond_proj, state)
+        z2, logdet = _apply_coupling_rev(spec, h, z2, logdet)
+        z = ops.cat_half(z1, z2)
+        z, logdet = _perm_rev(spec, p["perm"], z, logdet)
+        z, logdet = ops.actnorm_rev(p["actnorm"], z, logdet)
+        return (z, logdet), new_state
+
+    (x, logdet), new_states = jax.lax.scan(
+        body, (z, logdet0), (flow_params, states, cond_projs), reverse=True)
+    return x, logdet, new_states
+
+
+# ---------------------------------------------------------------------------
+# ActNorm data-dependent initialisation
+# ---------------------------------------------------------------------------
+
+def actnorm_sequential_init(spec: FlowSpec, flow_params, x0, cond0):
+    """Initialise each step's actnorm from the first conditioned frame.
+
+    The reference initialises lazily inside the first forward pass
+    (modules.py:32-43): step k's actnorm sees the first frame *after*
+    transformation by steps 0..k-1 (whose couplings are zero-init, so the
+    init is conditioning-independent in practice, but we run the real step
+    anyway). Re-running the first frame afterwards with the initialised
+    parameters reproduces the reference's first training step exactly, since
+    the coupling-RNN states are reset at every sequence start.
+
+    Returns flow_params with initialised actnorm leaves.
+    """
+    k_steps = spec.n_steps
+    cond_projs = _project_cond(flow_params, cond0)
+    states = init_flow_states(spec, x0.shape[0], x0.dtype)
+    z = x0
+    new_bias, new_logs = [], []
+    for k in range(k_steps):
+        p = jax.tree.map(lambda leaf: leaf[k], flow_params)
+        state = jax.tree.map(lambda s: s[k], states)
+        an = ops.actnorm_data_init(z, spec.actnorm_scale)
+        new_bias.append(an["bias"])
+        new_logs.append(an["logs"])
+        z, _ = ops.actnorm_fwd(an, z, jnp.zeros(z.shape[:-1], z.dtype))
+        z, _ = _perm_fwd(spec, p["perm"], z, jnp.zeros(z.shape[:-1], z.dtype))
+        z1, z2 = ops.split_half(z)
+        h, _ = _coupling_net(spec, p, z1, cond_projs[k], state)
+        z2, _ = _apply_coupling_fwd(spec, h, z2, jnp.zeros(z.shape[:-1], z.dtype))
+        z = ops.cat_half(z1, z2)
+
+    out = dict(flow_params)
+    out["actnorm"] = {"bias": jnp.stack(new_bias), "logs": jnp.stack(new_logs)}
+    return out

@@ -1,0 +1,177 @@
+"""Sequence-level model: teacher-forced NLL, autoregressive sampling, inversion.
+
+The reference runs per-frame Python loops (models.py:534-561, 567-596,
+617-645); here every loop is a ``jax.lax.scan`` whose carry holds the K
+coupling-RNN states (and, when sampling, the autoregressive own-face ring
+buffer plus the PRNG key). Conditioning for all frames is encoded in one
+batched pass *before* the scan — during training it is fully known (teacher
+forcing); during sampling everything except the agent's own face encoding is
+precomputed and only that one small encoder runs inside the scan.
+
+Loss convention (models.py:563-565): total bits per frame,
+``-(logdet + logp(z)) / ln 2``, mean over batch then mean over frames — NOT
+divided by the 56 channel dims.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lets_face_it_tpu.core import ops
+from lets_face_it_tpu.model import encoders, flow
+from lets_face_it_tpu.model.spec import FlowSpec
+
+
+class SeqGlowParams(NamedTuple):
+    encoder: dict
+    flow: dict
+
+
+def init_seqglow(key, spec: FlowSpec, dtype=jnp.float32) -> SeqGlowParams:
+    k_enc, k_flow = jax.random.split(key)
+    return SeqGlowParams(
+        encoder=encoders.init_feature_encoder(k_enc, spec.cond, dtype),
+        flow=flow.init_flow(k_flow, spec, dtype),
+    )
+
+
+def nll_from_objective(objective):
+    """Bits: -(logdet + logp) / ln 2 (models.py:563-565)."""
+    return -objective / ops.LN2
+
+
+def _frame_numbers(spec: FlowSpec, batch, n_frames: int):
+    """[B, N, 1] frame-number conditioning, stepping by 2 per frame and offset
+    by 2*start (models.py:540-542,557-558)."""
+    start = spec.cond.longest_history
+    base = batch["frame_nb"] + 2.0 * start                       # [B, 1]
+    steps = 2.0 * jnp.arange(n_frames, dtype=base.dtype)         # [N]
+    return base[:, None, :] + steps[None, :, None]
+
+
+def sequence_nll(spec: FlowSpec, params: SeqGlowParams, batch, *, rng=None,
+                 training=False, collect_scales=False):
+    """Teacher-forced NLL over a [B, T, C] sequence.
+
+    Returns (z_seq [N, B, C], loss scalar, per-frame per-sample losses [N, B]).
+    """
+    x = batch["p1_face"]
+    b, t, _ = x.shape
+    start = spec.cond.longest_history
+    n = t - start
+    times = jnp.arange(start, t)
+
+    frame_nbs = _frame_numbers(spec, batch, n) if spec.cond.use_frame_nb else None
+    cond_all = encoders.encode_conditioning(
+        spec.cond, params.encoder, batch, x, times,
+        frame_nbs=frame_nbs, rng=rng, training=training)          # [B, N, F]
+
+    xs = jnp.moveaxis(x[:, start:], 1, 0)                         # [N, B, C]
+    conds = jnp.moveaxis(cond_all, 1, 0)                          # [N, B, F]
+    states0 = flow.init_flow_states(spec, b, x.dtype)
+
+    def step(states, inp):
+        x_t, cond_t = inp
+        if collect_scales:
+            z, logdet, states, scales = flow.frame_fwd(
+                spec, params.flow, x_t, cond_t, states, collect_scales=True)
+        else:
+            z, logdet, states = flow.frame_fwd(spec, params.flow, x_t, cond_t, states)
+            scales = jnp.zeros((0,), x_t.dtype)
+        objective = logdet + ops.gaussian_logp(z)
+        nll = nll_from_objective(objective)                       # [B]
+        return states, (z, nll, scales)
+
+    if spec.remat:
+        step = jax.checkpoint(step)
+    _, (z_seq, losses, scales) = jax.lax.scan(step, states0, (xs, conds))
+    loss = jnp.mean(losses)
+    if collect_scales:
+        return z_seq, loss, losses, scales
+    return z_seq, loss, losses
+
+
+def sequence_sample(spec: FlowSpec, params: SeqGlowParams, data, seq_len: int,
+                    *, eps_std: float = 1.0, rng, z_seq=None):
+    """Autoregressive generation (models.py:567-596).
+
+    ``data`` seeds the own-face history (``p1_face[:, :start]``) and provides
+    interlocutor/speech conditioning for ``seq_len`` frames. If ``z_seq``
+    [N, B, C] is given, those latents are decoded instead of fresh samples
+    (used by ``sequence_invert``). Returns generated frames [B, N, C] where
+    N = seq_len - longest_history.
+    """
+    x_seed = data["p1_face"]
+    b = x_seed.shape[0]
+    c = spec.channels
+    start = spec.cond.longest_history
+    n = seq_len - start
+    times = jnp.arange(start, seq_len)
+
+    if spec.cond.use_frame_nb:
+        if "frame_nb" in data:
+            frame_nbs = _frame_numbers(spec, data, n)
+        else:
+            base = jnp.ones((b, 1), x_seed.dtype)
+            steps = 2.0 * jnp.arange(n, dtype=x_seed.dtype)
+            frame_nbs = base[:, None, :] + steps[None, :, None]
+    else:
+        frame_nbs = None
+
+    fixed = encoders.encode_fixed_conditioning(
+        spec.cond, params.encoder, data, times, frame_nbs=frame_nbs)  # [B, N, F']
+    fixed_t = jnp.moveaxis(fixed, 1, 0)                               # [N, B, F']
+
+    h1 = spec.cond.p1_face.history
+    face_hist0 = x_seed[:, start - h1 : start]                        # [B, h1, C]
+    states0 = flow.init_flow_states(spec, b, x_seed.dtype)
+
+    if z_seq is None:
+        zs = jax.random.normal(rng, (n, b, c), x_seed.dtype) * eps_std
+    else:
+        zs = z_seq
+
+    def step(carry, inp):
+        face_hist, states = carry
+        z_t, fixed_cond = inp
+        if spec.cond.p1_face.out_dim > 0:
+            p1_enc = encoders.encode_p1_face_single(
+                spec.cond, params.encoder, face_hist)
+            cond_t = jnp.concatenate([p1_enc, fixed_cond], axis=-1)
+        else:
+            cond_t = fixed_cond
+        x_t, logdet, states = flow.frame_rev(spec, params.flow, z_t, cond_t, states)
+        face_hist = jnp.concatenate([face_hist[:, 1:], x_t[:, None]], axis=1)
+        return (face_hist, states), (x_t, logdet)
+
+    _, (xs, logdets) = jax.lax.scan(step, (face_hist0, states0), (zs, fixed_t))
+    return jnp.moveaxis(xs, 0, 1)                                     # [B, N, C]
+
+
+def sequence_invert(spec: FlowSpec, params: SeqGlowParams, z_seq, data):
+    """Teacher-forced decode of stored latents (models.py:617-645): conditioning
+    comes from the ground-truth ``data['p1_face']`` history, not the decoded
+    output. Returns (reconstruction [B, N, C], backward_loss scalar)."""
+    x = data["p1_face"]
+    b, t, _ = x.shape
+    start = spec.cond.longest_history
+    n = z_seq.shape[0]
+    times = jnp.arange(start, start + n)
+
+    frame_nbs = _frame_numbers(spec, data, n) if spec.cond.use_frame_nb else None
+    cond_all = encoders.encode_conditioning(
+        spec.cond, params.encoder, data, x, times, frame_nbs=frame_nbs)
+    conds = jnp.moveaxis(cond_all, 1, 0)
+    states0 = flow.init_flow_states(spec, b, x.dtype)
+
+    def step(states, inp):
+        z_t, cond_t = inp
+        x_t, logdet, states = flow.frame_rev(spec, params.flow, z_t, cond_t, states)
+        objective = logdet + ops.gaussian_logp(z_t)
+        return states, (x_t, jnp.mean(nll_from_objective(objective)))
+
+    _, (xs, losses) = jax.lax.scan(step, states0, (z_seq, conds))
+    return jnp.moveaxis(xs, 0, 1), jnp.mean(losses)

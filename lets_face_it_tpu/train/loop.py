@@ -1,0 +1,210 @@
+"""The training harness: epochs, validation self-checks, logging, checkpoints.
+
+Replaces PyTorch Lightning + MimicryLogger (train.py, mimicry_logger.py) with
+an explicit loop over jitted steps on a data-parallel device mesh. Validation
+each epoch reproduces the reference's de-facto test suite: val NLL, free-run
+generation + jerk triplet, invertibility error, matched-vs-deranged NLL
+probes, and parameter histograms (scale logging) — written to TensorBoard via
+tensorboardX and mirrored as JSON lines on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lets_face_it_tpu.data.windows import WindowDataset
+from lets_face_it_tpu.hparams import HParams
+from lets_face_it_tpu.model import FlowSpec, seqglow
+from lets_face_it_tpu.parallel import mesh as pmesh
+from lets_face_it_tpu.train import metrics as train_metrics
+from lets_face_it_tpu.train import state as train_state
+from lets_face_it_tpu.train.checkpoint import CheckpointManager
+from lets_face_it_tpu.train.optim import build_optimizer
+
+
+class MetricLogger:
+    """TensorBoard + JSON-lines stdout logging."""
+
+    def __init__(self, log_dir, enabled: bool = True):
+        self.enabled = enabled
+        self.writer = None
+        if enabled:
+            try:
+                from tensorboardX import SummaryWriter
+
+                Path(log_dir).mkdir(parents=True, exist_ok=True)
+                self.writer = SummaryWriter(str(log_dir))
+            except Exception:
+                self.writer = None
+
+    def scalars(self, step: int, values: dict):
+        clean = {k: float(v) for k, v in values.items()}
+        if self.writer is not None:
+            for k, v in clean.items():
+                self.writer.add_scalar(k, v, step)
+        print(json.dumps({"step": step, **clean}), file=sys.stdout, flush=True)
+
+    def histogram(self, step: int, name: str, values):
+        if self.writer is not None:
+            self.writer.add_histogram(name, np.asarray(values).ravel(), step)
+
+    def close(self):
+        if self.writer is not None:
+            self.writer.close()
+
+
+def scale_histograms(params) -> dict:
+    """Parameter histograms the reference logs (mimicry_logger.py:126-152):
+    actnorm scales and LU log_s per flow network."""
+    return {
+        "actnorm_scales": np.exp(np.asarray(params.flow["actnorm"]["logs"])),
+        "actnorm_bias": np.asarray(params.flow["actnorm"]["bias"]),
+        "lu_log_s": np.asarray(params.flow["perm"].get(
+            "log_s", jnp.zeros((0,)))),
+    }
+
+
+def run_validation(spec: FlowSpec, hp: HParams, params, val_ds: WindowDataset,
+                   eval_step, logger: MetricLogger, step: int, rng,
+                   render_client=None):
+    val_cfg = hp.Validation
+    n_batches = 0
+    total = 0.0
+    first_batch = None
+    for batch in val_ds.epoch_batches(hp.batch_size, shuffle=False):
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        z_seq, loss, _ = eval_step(params, jb)
+        total += float(loss)
+        n_batches += 1
+        if first_batch is None:
+            first_batch = (jb, z_seq, loss)
+    val_loss = total / max(n_batches, 1)
+    out = {"val_loss": val_loss}
+
+    if first_batch is not None:
+        jb, z_seq, loss = first_batch
+        start = spec.cond.longest_history
+        seq_len = val_cfg["seq_len"]
+
+        if val_cfg.get("inference", False):
+            rng, sub = jax.random.split(rng)
+            generated = seqglow.sequence_sample(
+                spec, params, jb, seq_len, eps_std=hp.Infer["eps"], rng=sub)
+            gt = jb["p1_face"][:, start:seq_len]
+            out.update({k: float(v) for k, v in
+                        train_metrics.jerk_metrics(gt, generated).items()})
+            if render_client is not None and val_cfg.get("render", False):
+                try:
+                    render_client(np.asarray(generated), np.asarray(gt), step)
+                except Exception as exc:  # rendering must never kill training
+                    print(f"render failed: {exc}", file=sys.stderr)
+
+        if val_cfg.get("check_invertion", False):
+            err = train_metrics.invertibility_error(spec, params, jb, z_seq, loss)
+            out["reconstruction/error_percentage"] = float(err)
+
+        if val_cfg.get("wrong_context_test", False) and hasattr(hp, "Mismatch"):
+            rng, sub = jax.random.split(rng)
+            probes = train_metrics.wrong_context_probes(
+                spec, params, jb, loss, hp.Mismatch, sub)
+            out.update({k: float(v) for k, v in probes.items()})
+
+        if val_cfg.get("scale_logging", False):
+            for name, values in scale_histograms(params).items():
+                logger.histogram(step, name, values)
+
+    logger.scalars(step, out)
+    return val_loss
+
+
+def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
+          max_steps: int | None = None, render_client=None,
+          dataset_cls=WindowDataset, use_mesh: bool = True,
+          verbose: bool = True):
+    """Full training run. Returns (final TrainState, best val loss)."""
+    data_file = Path(hp.dataset_root) / hp.Data["file_name"]
+    train_ds = dataset_cls(data_file, "train", hp.Data, hp.Conditioning,
+                           hp.Train["seq_len"])
+    val_ds = dataset_cls(data_file, "val", hp.Data, hp.Conditioning,
+                         hp.Validation["seq_len"])
+
+    spec = FlowSpec.build(hp)
+    n_dev = len(jax.devices()) if use_mesh else 1
+    mesh = pmesh.make_mesh() if use_mesh else None
+
+    steps_per_epoch = max(train_ds.num_batches(hp.batch_size, drop_last=True), 1)
+    optimizer = build_optimizer(hp, steps_per_epoch)
+    rng = jax.random.PRNGKey(seed)
+    rng, k_state = jax.random.split(rng)
+    state = train_state.init_train_state(k_state, spec, optimizer)
+
+    ckpt = CheckpointManager(ckpt_dir, max_to_keep=3) if ckpt_dir else None
+    logger = MetricLogger(log_dir or "runs/default", enabled=bool(hp.logger))
+
+    train_step = train_state.make_train_step(spec, hp, optimizer)
+    eval_step = train_state.make_eval_step(spec)
+
+    actnorm_inited = False
+    start_epoch = 0
+    if getattr(hp, "resume_from_checkpoint", None):
+        resume_mgr = CheckpointManager(hp.resume_from_checkpoint)
+        state, meta = resume_mgr.restore(state)
+        actnorm_inited = bool(meta.get("actnorm_inited", True))
+        start_epoch = int(meta.get("epoch", 0)) + 1
+
+    if mesh is not None:
+        state = pmesh.replicate(mesh, state)
+
+    np_rng = np.random.default_rng(seed)
+    best_val = float("inf")
+    max_epochs = int(hp.max_epochs or 1)
+    global_step = int(jax.device_get(state.step))
+    t_start = time.time()
+    done = False
+
+    for epoch in range(start_epoch, max_epochs):
+        for batch in train_ds.epoch_batches(hp.batch_size, rng=np_rng,
+                                            shuffle=True, drop_last=True):
+            if not actnorm_inited:
+                state = train_state.run_actnorm_init(spec, state, batch)
+                if mesh is not None:
+                    state = pmesh.replicate(mesh, state)
+                actnorm_inited = True
+
+            jb = (pmesh.shard_batch(mesh, batch) if mesh is not None
+                  else {k: jnp.asarray(v) for k, v in batch.items()})
+            state, step_metrics = train_step(state, jb)
+            global_step += 1
+
+            if verbose and global_step % 10 == 0:
+                m = {k: float(v) for k, v in jax.device_get(step_metrics).items()}
+                m["train_loss"] = m.pop("loss")
+                m["steps_per_sec"] = global_step / (time.time() - t_start)
+                logger.scalars(global_step, m)
+
+            if max_steps is not None and global_step >= max_steps:
+                done = True
+                break
+
+        if (epoch + 1) % int(hp.check_val_every_n_epoch or 1) == 0 or done:
+            rng, sub = jax.random.split(rng)
+            val_loss = run_validation(spec, hp, state.params, val_ds, eval_step,
+                                      logger, global_step, sub,
+                                      render_client=render_client)
+            best_val = min(best_val, val_loss)
+            if ckpt is not None:
+                ckpt.save(global_step, jax.device_get(state),
+                          actnorm_inited=actnorm_inited, epoch=epoch,
+                          extra={"val_loss": val_loss})
+        if done:
+            break
+
+    logger.close()
+    return state, best_val

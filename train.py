@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Train the interlocutor-aware facial-gesture flow.
+
+Usage (matches the reference CLI, /root/reference/code/glow_pytorch/train.py):
+
+    python train.py hparams/final_model.yaml [--dataset_root DIR]
+        [--max_steps N] [--cpu] [--seed N] [--log_dir DIR] [--ckpt_dir DIR]
+        [--synthetic-data]   # generate a synthetic fixture first (smoke runs)
+
+Unmodified reference hparams YAMLs are accepted. Training is data-parallel
+over every visible device (a ``jax.sharding.Mesh`` over TPU chips; gradients
+all-reduce over ICI).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("hparams_file")
+    parser.add_argument("--dataset_root", default=None)
+    parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument("--log_dir", default=None)
+    parser.add_argument("--ckpt_dir", default=None)
+    parser.add_argument("--cpu", action="store_true",
+                        help="force CPU (e.g. smoke tests)")
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--max_epochs", type=int, default=None)
+    parser.add_argument("--synthetic-data", action="store_true",
+                        help="write a synthetic fixture into dataset_root first")
+    args = parser.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["JAX_PLATFORM_NAME"] = "cpu"
+
+    from lets_face_it_tpu.hparams import load_hparams
+
+    overrides = {}
+    if args.batch_size is not None:
+        overrides["batch_size"] = args.batch_size
+    if args.max_epochs is not None:
+        overrides["max_epochs"] = args.max_epochs
+    hp = load_hparams(args.hparams_file, dataset_root=args.dataset_root,
+                      overrides=overrides)
+
+    if args.synthetic_data:
+        from lets_face_it_tpu.data.synthetic import write_synthetic_dataset
+
+        target = Path(hp.dataset_root) / hp.Data["file_name"]
+        if not target.exists():
+            print(f"writing synthetic fixture to {target}")
+            write_synthetic_dataset(target, seed=args.seed)
+
+    run_name = Path(args.hparams_file).stem
+    log_dir = args.log_dir or f"runs/{run_name}"
+    ckpt_dir = args.ckpt_dir or f"checkpoints/{run_name}"
+
+    from lets_face_it_tpu.train.loop import train
+
+    state, best_val = train(hp, seed=args.seed, log_dir=log_dir,
+                            ckpt_dir=ckpt_dir, max_steps=args.max_steps)
+    print(f"training done; best val_loss = {best_val:.4f}")
+
+
+if __name__ == "__main__":
+    main()
