@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Headline benchmark: autoregressive 25-fps gesture sampling throughput per
+chip on the final-model flow (K=16, GRU couplings, full conditioning stack),
+plus teacher-forced training step rate.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md); the
+target from BASELINE.json is >= 50x real-time generation of 25-fps sequences
+per TPU v5e chip, i.e. 1250 generated frames/sec/chip. ``vs_baseline`` is
+measured frames/sec divided by that 1250-frames/sec target.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+from __graft_entry__ import _example_batch, _tiny_final_hparams
+
+REALTIME_FPS = 25.0
+TARGET_REALTIME_FACTOR = 50.0
+
+
+def build_full_model():
+    from lets_face_it_tpu.model import FlowSpec, init_seqglow
+
+    hp = _tiny_final_hparams()
+    hp.Train["seq_len"] = 80       # full training envelope
+    spec = FlowSpec.build(hp)
+    params = init_seqglow(jax.random.PRNGKey(0), spec)
+    return hp, spec, params
+
+
+def bench_sampling(hp, spec, params, batch_size: int, gen_frames: int = 100,
+                   iters: int = 5):
+    from lets_face_it_tpu.model import seqglow
+
+    start = spec.cond.longest_history
+    seq_len = start + gen_frames
+    data = {k: jax.numpy.asarray(v) for k, v in
+            _example_batch(hp, batch_size, seq_len).items()}
+
+    @jax.jit
+    def sample(params, data, rng):
+        return seqglow.sequence_sample(spec, params, data, seq_len,
+                                       eps_std=hp.Infer["eps"], rng=rng)
+
+    rng = jax.random.PRNGKey(1)
+    sample(params, data, rng).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = sample(params, data, jax.random.fold_in(rng, i))
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    frames_per_sec = batch_size * gen_frames / dt
+    return frames_per_sec, dt
+
+
+def bench_training(hp, spec, params, batch_size: int = 256, iters: int = 5):
+    from lets_face_it_tpu.train import state as train_state
+    from lets_face_it_tpu.train.optim import build_optimizer
+
+    optimizer = build_optimizer(hp, steps_per_epoch=100)
+    state = train_state.init_train_state(jax.random.PRNGKey(0), spec, optimizer)
+    state = state._replace(params=params)
+    step = train_state.make_train_step(spec, hp, optimizer)
+    batch = {k: jax.numpy.asarray(v) for k, v in
+             _example_batch(hp, batch_size, hp.Train["seq_len"]).items()}
+
+    state, m = step(state, batch)   # compile
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch)
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / iters
+    return 1.0 / dt, dt
+
+
+def main():
+    hp, spec, params = build_full_model()
+    dev = jax.devices()[0]
+    print(f"benchmarking on {dev.device_kind} ({dev.platform})", file=sys.stderr)
+
+    fps_b1, _ = bench_sampling(hp, spec, params, batch_size=1)
+    fps_batch, _ = bench_sampling(hp, spec, params, batch_size=128)
+    train_sps, train_dt = bench_training(hp, spec, params)
+
+    target = REALTIME_FPS * TARGET_REALTIME_FACTOR
+    result = {
+        "metric": "gesture_frames_per_sec_per_chip_25fps_sampling",
+        "value": round(fps_batch, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps_batch / target, 3),
+        "sampling_fps_batch1": round(fps_b1, 1),
+        "realtime_factor_batch1": round(fps_b1 / REALTIME_FPS, 2),
+        "train_steps_per_sec_b256_T80": round(train_sps, 3),
+        "train_windows_per_sec": round(train_sps * 256, 1),
+        "device": f"{dev.device_kind}",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
