@@ -1,0 +1,219 @@
+#!/usr/bin/env python
+"""Feature-extraction pipeline: dyadic session recordings -> ``lets_face_it.h5``.
+
+The TPU-native rebuild of the reference pipeline
+(/root/reference/code/extract_features.py): ffmpeg stages stay subprocess IO,
+audio DSP (prosody / MFCC / VAD) runs as jit-compiled JAX whole-utterance
+batches, FLAME landmark fitting runs as batched L-BFGS over frames in XLA
+(replacing the reference's Ray actor pool), and the heavyweight external
+stages (OpenFace docker, RingNet/VOCA TF1 graphs) are optional adapters with
+documented drop-in file interfaces.
+
+Every stage is idempotent — it checks for its output and skips — so the
+pipeline is resumable at file granularity, like the reference.
+
+Layout expected under --dataset_dir:
+    <session>/audio_c1_c2.wav        stereo session recording  (or
+    <session>/<P1|P2>/audio.wav      pre-split per-participant audio)
+    <session>/<P1|P2>/video.mp4      per-participant video (any fps)
+
+Usage:
+    python extract_features.py --dataset_dir DIR --splits data/train_val_test.json
+        [--fps 25] [--stages audio,video,openface,flame,combine] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+ALL_STAGES = ("video", "audio", "openface", "ringnet", "voca", "flame",
+              "combine")
+
+
+def log(msg: str):
+    print(f"[extract_features] {msg}", flush=True)
+
+
+def stage_video(sessions, fps):
+    from lets_face_it_tpu.features import video
+
+    if not video.have_ffmpeg():
+        log("video stage: ffmpeg not found — skipping (provide "
+            "video_{fps}fps.mp4 files directly)")
+        return
+    for session in sessions:
+        for part_dir in (session / "P1", session / "P2"):
+            src = part_dir / "video.mp4"
+            if not src.exists():
+                continue
+            dst = part_dir / f"video_{fps}fps.mp4"
+            video.convert_video_to_fps(src, dst, fps)
+            video.extract_images(dst, part_dir / "images")
+            log(f"video: {dst}")
+
+
+def _frame_count(part_dir, fps) -> int | None:
+    """Frames for this participant: ffprobe of the resampled video, or a
+    sidecar ``frames_{fps}fps.txt`` for video-less (audio-only) runs."""
+    sidecar = part_dir / f"frames_{fps}fps.txt"
+    if sidecar.exists():
+        return int(sidecar.read_text().strip())
+    video_file = part_dir / f"video_{fps}fps.mp4"
+    if video_file.exists():
+        from lets_face_it_tpu.features.video import count_video_frames
+
+        return count_video_frames(video_file)
+    return None
+
+
+def stage_audio(sessions, fps):
+    import numpy as np
+
+    from lets_face_it_tpu.features import audio_io, mfcc, prosody, vad
+
+    for session in sessions:
+        stereo = next(iter(session.glob("*c1_c2.wav")), None)
+        if stereo is not None:
+            audio_io.split_audio_channels(stereo, session)
+
+        frame_counts = {}
+        for part in ("P1", "P2"):
+            part_dir = session / part
+            wav_file = part_dir / "audio.wav"
+            if not wav_file.exists():
+                continue
+            nb_frames = _frame_count(part_dir, fps)
+            if nb_frames is None:
+                log(f"audio: no frame count for {part_dir} — skipping")
+                continue
+            frame_counts[part] = nb_frames
+            fs, samples = audio_io.read_wav(wav_file)
+
+            audio_io.chunk_audio_file(wav_file, part_dir / "audio_chunks")
+
+            pros_file = part_dir / f"prosodic_features_{fps}fps.npy"
+            if not pros_file.exists():
+                feats = prosody.extract_prosodic_features(samples, fs, nb_frames)
+                np.save(pros_file, np.asarray(feats))
+                log(f"prosody: {pros_file}")
+
+            mfcc_file = part_dir / f"mfcc_{fps}fps.npy"
+            if not mfcc_file.exists():
+                # reference feeds raw int16-scale samples to psf mfcc
+                feats = mfcc.extract_mfcc_to_frames(
+                    samples * 32768.0, fs, nb_frames)
+                np.save(mfcc_file, np.asarray(feats))
+                log(f"mfcc: {mfcc_file}")
+
+        p1_vad = session / "P1" / f"crosstalk_vad_{fps}fps.npy"
+        p2_vad = session / "P2" / f"crosstalk_vad_{fps}fps.npy"
+        if (len(frame_counts) == 2 and not p1_vad.exists()
+                and not p2_vad.exists()):
+            assert frame_counts["P1"] == frame_counts["P2"]
+            fs1, x1 = audio_io.read_wav(session / "P1" / "audio.wav")
+            fs2, x2 = audio_io.read_wav(session / "P2" / "audio.wav")
+            assert fs1 == fs2
+            s1, s2 = vad.crosstalk_vad(x1, x2, fs1, frame_counts["P1"])
+            np.save(p1_vad, np.asarray(s1))
+            np.save(p2_vad, np.asarray(s2))
+            log(f"vad: {session.name}")
+
+
+def stage_openface(sessions, fps):
+    from lets_face_it_tpu.features import external
+
+    for session in sessions:
+        for part in ("P1", "P2"):
+            part_dir = session / part
+            video_file = part_dir / f"video_{fps}fps.mp4"
+            out_csv = part_dir / f"openface_{fps}fps.csv"
+            if out_csv.exists() or not video_file.exists():
+                continue
+            try:
+                external.extract_openface(video_file, out_csv, fps)
+                log(f"openface: {out_csv}")
+            except external.StageUnavailable as exc:
+                log(str(exc))
+                return
+
+
+def stage_flame(sessions, fps):
+    try:
+        from lets_face_it_tpu.features import flame_fit
+    except ImportError as exc:
+        log(f"flame stage unavailable: {exc}")
+        return
+
+    for session in sessions:
+        for part in ("P1", "P2"):
+            part_dir = session / part
+            out_h5 = part_dir / f"flame_{fps}fps.h5"
+            csv_file = part_dir / f"openface_{fps}fps.csv"
+            if out_h5.exists() or not csv_file.exists():
+                continue
+            flame_fit.fit_session_participant(part_dir, fps)
+            log(f"flame: {out_h5}")
+
+
+def stage_combine(dataset_dir, splits_file, fps, output):
+    from lets_face_it_tpu.features import combine
+
+    if output.exists():
+        log(f"combine: {output} exists — skipping")
+        return
+    spec = combine.load_split_spec(splits_file)
+    combine.combine_features(dataset_dir, output, spec, fps=fps,
+                             progress=lambda s, n: log(f"combine {s}/{n}"))
+    log(f"combine: wrote {output}")
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    parser.add_argument("--dataset_dir", required=True)
+    parser.add_argument("--splits", default=None,
+                        help="train_val_test.json (required for combine)")
+    parser.add_argument("--output", default=None,
+                        help="combined HDF5 path (default <dataset_dir>/lets_face_it.h5)")
+    parser.add_argument("--fps", type=int, default=25)
+    parser.add_argument("--stages", default=",".join(ALL_STAGES))
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args()
+
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["JAX_PLATFORM_NAME"] = "cpu"
+
+    dataset_dir = Path(args.dataset_dir)
+    sessions = sorted(p for p in dataset_dir.iterdir() if p.is_dir())
+    stages = [s.strip() for s in args.stages.split(",") if s.strip()]
+    unknown = set(stages) - set(ALL_STAGES)
+    if unknown:
+        sys.exit(f"unknown stages: {sorted(unknown)}; valid: {ALL_STAGES}")
+    log(f"{len(sessions)} sessions, stages: {stages}")
+
+    if "video" in stages:
+        stage_video(sessions, args.fps)
+    if "audio" in stages:
+        stage_audio(sessions, args.fps)
+    if "openface" in stages:
+        stage_openface(sessions, args.fps)
+    if "ringnet" in stages or "voca" in stages:
+        log("ringnet/voca: external TF1 stages — see "
+            "lets_face_it_tpu/features/external.py for the drop-in contract")
+    if "flame" in stages:
+        stage_flame(sessions, args.fps)
+    if "combine" in stages:
+        if not args.splits:
+            sys.exit("--splits is required for the combine stage")
+        output = Path(args.output or dataset_dir / "lets_face_it.h5")
+        stage_combine(dataset_dir, args.splits, args.fps, output)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,242 @@
+"""Dataset combiner: per-session features -> ``lets_face_it.h5``.
+
+Reproduces the reference combiner's behavior (combine_features.py:18-216) on
+the same on-disk inputs:
+
+    <session>/<P1|P2>/openface_{fps}fps.csv        OpenFace CSV (cols 299:435
+                                                   consumed; success = conf
+                                                   col 3 >= 0.98 and col 4)
+    <session>/<P1|P2>/flame_{fps}fps.h5            tf_exp / tf_pose / tf_rot
+    <session>/<P1|P2>/mfcc_{fps}fps.npy
+    <session>/<P1|P2>/prosodic_features_{fps}fps.npy
+
+Semantics preserved: neck = global rot + pose[:3], re-centered by the mean
+rotation over successful frames; failed frames repaired by linear
+interpolation across <=2-frame gaps (preferring nearer neighbours) or the
+segment is split; contiguous bins shorter than the 9-frame smoothing window
+dropped; face/openface params savgol-smoothed (win 9, poly 3); both dyad
+roles written per segment by swapping P1/P2; face kinds standardized by
+train-agent statistics, audio kinds raw.
+
+Output schema: /{split}/{kind}/{chunk_i}/{agent,interlocutor} plus
+/means/{kind}, /stds/{kind}.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+from collections import defaultdict
+from pathlib import Path
+
+import h5py
+import numpy as np
+import scipy.signal
+
+WIN_LEN = 9
+FACE_KINDS = ("flame_expression", "flame_jaw", "flame_neck", "flame_rotation",
+              "openface")
+AUDIO_KINDS = ("mfcc", "prosody")
+
+
+def ms2frames(ms: float, fps: int) -> int:
+    """Millisecond offset -> frame index (reference misc/utils.py)."""
+    return int(round(ms / 1000 * fps))
+
+
+def load_openface_csv(path):
+    """(landmarks [T, 136], success [T] bool): cols 299:435 and the
+    confidence/success columns (combine_features.py:18-23)."""
+    with open(path) as f:
+        rows = list(csv.reader(f))[1:]
+    landmarks = np.array([[float(c.strip()) for c in row[299:435]]
+                          for row in rows], np.float64)
+    # NOTE: the reference tests ``bool(frame[4])`` on the raw CSV *string*
+    # (combine_features.py:23), which is truthy for any non-empty cell — so
+    # success effectively reduces to the confidence threshold. Replicated
+    # for bit-parity.
+    success = np.array([float(r[3]) >= 0.98 and bool(r[4]) for r in rows])
+    return landmarks, success
+
+
+def load_flame_h5(path):
+    """{expression, jaw, neck, rotation} from tf_exp/tf_pose/tf_rot
+    (combine_features.py:26-33)."""
+    with h5py.File(path, "r") as f:
+        exp = f["tf_exp"][()]
+        pose = f["tf_pose"][()]
+        rot = f["tf_rot"][()]
+    return {
+        "expression": exp,
+        "jaw": pose[:, 3:6],
+        "neck": pose[:, :3] + rot,
+        "rotation": rot,
+    }
+
+
+def load_participant(participant_path: Path, fps: int):
+    p = {}
+    landmarks, success = load_openface_csv(
+        participant_path / f"openface_{fps}fps.csv")
+    p["openface"] = landmarks
+    p["success"] = success
+    p["flame"] = load_flame_h5(participant_path / f"flame_{fps}fps.h5")
+    p["flame"]["neck"] = (p["flame"]["neck"]
+                          - p["flame"]["rotation"][success].mean())
+    p["mfcc"] = np.load(participant_path / f"mfcc_{fps}fps.npy")
+    p["prosody"] = np.load(participant_path / f"prosodic_features_{fps}fps.npy")
+    n = len(p["success"])
+    assert all(len(p["flame"][k]) == n for k in ("expression", "jaw", "neck"))
+    assert len(p["mfcc"]) == n and len(p["prosody"]) == n
+    return p
+
+
+def load_session(session_path: Path, fps: int):
+    return {part: load_participant(Path(session_path) / part, fps)
+            for part in ("P1", "P2")}
+
+
+# ---------------------------------------------------------------------------
+# Gap repair (combine_features.py:66-104): a failed frame is recoverable when
+# a successful frame exists within 2 frames on each side; nearer neighbours
+# preferred, and a 2-frame-away past neighbour only pairs with a 1-frame-away
+# future one.
+# ---------------------------------------------------------------------------
+
+def _try_get(success, n):
+    if 0 <= n < len(success) and success[n]:
+        return n
+    return None
+
+
+def _with_preference(success, n1, n2, score=1):
+    first = _try_get(success, n1)
+    if first is not None:
+        return first, 1
+    if score == 1:
+        return _try_get(success, n2), 2
+    return None, -1
+
+
+def repair_plan(frame: int, success) -> int | tuple | None:
+    """int -> use as-is; tuple (past, future, steps, pos) -> interpolate;
+    None -> unrecoverable."""
+    if success[frame]:
+        return frame
+    prev, prev_score = _with_preference(success, frame - 1, frame - 2)
+    future, future_score = _with_preference(success, frame + 1, frame + 2,
+                                            prev_score)
+    if prev and future:
+        return (prev, future, 1 + prev_score + future_score, prev_score)
+    return None
+
+
+def resolve_frame(plan, data: np.ndarray) -> np.ndarray:
+    if isinstance(plan, (int, np.integer)):
+        return data[plan]
+    past, future, steps, pos = plan
+    return np.linspace(data[past], data[future], steps, axis=0)[pos]
+
+
+# ---------------------------------------------------------------------------
+# Binning + smoothing + role-swapped segment assembly
+# ---------------------------------------------------------------------------
+
+def create_bins(session, start: int, stop: int, agent: str, interlocutor: str):
+    bins = []
+    new_bin = True
+    for frame in range(start, stop):
+        a_plan = repair_plan(frame, session[agent]["success"])
+        i_plan = repair_plan(frame, session[interlocutor]["success"])
+        if a_plan is not None and i_plan is not None:
+            if new_bin:
+                bins.append([])
+                new_bin = False
+            bins[-1].append((frame, a_plan, i_plan))
+        else:
+            new_bin = True
+    return bins
+
+
+def assemble_segment(session, start: int, stop: int, agent: str,
+                     interlocutor: str, win_len: int = WIN_LEN):
+    """-> {role: {kind: [chunk arrays]}} for one (agent, interlocutor) view."""
+    bins = create_bins(session, start, stop, agent, interlocutor)
+    out = {"agent": defaultdict(list), "interlocutor": defaultdict(list)}
+
+    for session_bin in bins:
+        if len(session_bin) < win_len:
+            continue
+        per_role = {"agent": defaultdict(list), "interlocutor": defaultdict(list)}
+        for orig_frame, a_plan, i_plan in session_bin:
+            for role, part, plan in (("agent", agent, a_plan),
+                                     ("interlocutor", interlocutor, i_plan)):
+                p = session[part]
+                for kind in AUDIO_KINDS:
+                    per_role[role][kind].append(p[kind][orig_frame])
+                per_role[role]["openface"].append(
+                    resolve_frame(plan, p["openface"]))
+                for name in ("jaw", "expression", "neck", "rotation"):
+                    per_role[role][f"flame_{name}"].append(
+                        resolve_frame(plan, p["flame"][name]))
+
+        for role in ("agent", "interlocutor"):
+            for kind, values in per_role[role].items():
+                arr = np.asarray(values)
+                if kind not in AUDIO_KINDS:
+                    arr = scipy.signal.savgol_filter(arr, win_len, 3, axis=0)
+                out[role][kind].append(arr)
+    return out
+
+
+def combine_features(dataset_dir, output_file, split_spec: dict, fps: int = 25,
+                     win_len: int = WIN_LEN, progress=None):
+    """Build the full HDF5 from per-session features.
+
+    ``split_spec``: {"train"|"val"|"test": {session: [[start_ms, stop_ms], ...]}}
+    (the layout of data/train_val_test.json).
+    """
+    dataset_dir = Path(dataset_dir)
+    output_file = Path(output_file)
+    output_file.parent.mkdir(parents=True, exist_ok=True)
+    stds, means = {}, {}
+
+    with h5py.File(output_file, "w") as f:
+        for split in ("train", "val", "test"):
+            grand = defaultdict(lambda: defaultdict(list))
+            for session_name, segments in (split_spec.get(split) or {}).items():
+                session = load_session(dataset_dir / session_name, fps)
+                for start_ms, stop_ms in segments:
+                    for agent, inter in (("P1", "P2"), ("P2", "P1")):
+                        seg = assemble_segment(
+                            session,
+                            ms2frames(start_ms, fps) - 1,
+                            ms2frames(stop_ms, fps) - 1,
+                            agent, inter, win_len)
+                        for role, kinds in seg.items():
+                            for kind, chunks in kinds.items():
+                                grand[kind][role] += chunks
+                if progress:
+                    progress(split, session_name)
+
+            if split == "train":
+                for kind, roles in grand.items():
+                    rows = np.vstack([c for c in roles["agent"]])
+                    stds[kind] = rows.std(axis=0)
+                    means[kind] = rows.mean(axis=0)
+                    f.create_dataset(f"/stds/{kind}", data=stds[kind])
+                    f.create_dataset(f"/means/{kind}", data=means[kind])
+
+            for kind, roles in grand.items():
+                for role, chunks in roles.items():
+                    for i, chunk in enumerate(chunks):
+                        if kind not in AUDIO_KINDS:
+                            chunk = (chunk - means[kind]) / stds[kind]
+                        f.create_dataset(f"/{split}/{kind}/{i}/{role}",
+                                         data=chunk)
+    return output_file
+
+
+def load_split_spec(path) -> dict:
+    """data/train_val_test.json layout."""
+    return json.loads(Path(path).read_text())
