@@ -1,0 +1,118 @@
+"""Batched FLAME landmark fitting: recover known parameters from projected
+landmarks on the synthetic model."""
+
+import csv
+
+import h5py
+import jax.numpy as jnp
+import numpy as np
+
+from lets_face_it_tpu.features import flame_fit
+from lets_face_it_tpu.render import flame
+
+MODEL = flame.synthetic_flame_model(160, seed=1)
+EMB = flame_fit.synthetic_landmark_embedding(MODEL, seed=2)
+
+
+def _targets_from_params(params_list):
+    outs = []
+    for p in params_list:
+        lmks = flame_fit.model_landmarks(MODEL, EMB, p)
+        outs.append(np.asarray(p["scale"] * lmks[:, :2]))
+    return np.asarray(outs, np.float32)
+
+
+def test_fit_recovers_rigid_pose():
+    rng = np.random.default_rng(0)
+    n = 4
+    true = []
+    for _ in range(n):
+        true.append({
+            "trans": jnp.asarray(rng.uniform(-0.05, 0.05, 3), jnp.float32),
+            "rot": jnp.asarray(rng.uniform(-0.2, 0.2, 3), jnp.float32),
+            "pose": jnp.zeros(12),
+            "shape": jnp.zeros(300),
+            "exp": jnp.zeros(100),
+            "scale": jnp.asarray(900.0),
+        })
+    targets = _targets_from_params(true)
+
+    params, losses = flame_fit.fit_batch(MODEL, EMB, targets,
+                                         stage1_steps=40, stage2_steps=80)
+    assert np.asarray(losses).max() < 1e-3, np.asarray(losses)
+
+    # reprojected landmarks match the targets closely
+    for i in range(n):
+        p = {k: jnp.asarray(v[i]) for k, v in params.items()}
+        lmks = flame_fit.model_landmarks(MODEL, EMB, p)
+        proj = np.asarray(p["scale"] * lmks[:, :2])
+        err = np.abs(proj - targets[i]).max() / (np.ptp(targets[i]) + 1e-9)
+        assert err < 0.02, err
+
+
+def test_fit_with_expression():
+    rng = np.random.default_rng(3)
+    n = 2
+    true = []
+    for _ in range(n):
+        exp = np.zeros(100)
+        exp[:10] = rng.uniform(-1, 1, 10)
+        true.append({
+            "trans": jnp.zeros(3),
+            "rot": jnp.asarray(rng.uniform(-0.1, 0.1, 3), jnp.float32),
+            "pose": jnp.zeros(12),
+            "shape": jnp.zeros(300),
+            "exp": jnp.asarray(exp, jnp.float32),
+            "scale": jnp.asarray(800.0),
+        })
+    targets = _targets_from_params(true)
+    params, losses = flame_fit.fit_batch(MODEL, EMB, targets,
+                                         stage1_steps=40, stage2_steps=120)
+    # regularized fit: loss small but nonzero
+    assert np.asarray(losses).max() < 5e-2
+
+
+def test_openface_targets_layout():
+    row = ["0"] * 299 + [str(float(i)) for i in range(136)] + ["0"] * 10
+    targets = flame_fit.openface_targets([row])
+    assert targets.shape == (1, 51, 2)
+    # x from first 68 cols (indices 17..67), y flipped
+    assert targets[0, 0, 0] == 17.0
+    assert targets[0, 0, 1] == 1024.0 - (68 + 17.0)
+
+
+def test_fit_session_participant(tmp_path):
+    n = 6
+    rng = np.random.default_rng(4)
+    true = []
+    for _ in range(n):
+        true.append({
+            "trans": jnp.zeros(3),
+            "rot": jnp.asarray(rng.uniform(-0.1, 0.1, 3), jnp.float32),
+            "pose": jnp.zeros(12),
+            "shape": jnp.zeros(300),
+            "exp": jnp.zeros(100),
+            "scale": jnp.asarray(700.0),
+        })
+    targets = _targets_from_params(true)  # [n, 51, 2]
+
+    part = tmp_path / "P1"
+    part.mkdir()
+    with open(part / "openface_25fps.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow([f"c{i}" for i in range(436)])
+        for i in range(n):
+            lm = targets[i].copy()
+            lm[:, 1] = 1024.0 - lm[:, 1]  # un-flip for CSV storage
+            full = np.zeros((68, 2), np.float32)
+            full[17:] = lm
+            row = ["0"] * 299 + [str(v) for v in full[:, 0]] \
+                + [str(v) for v in full[:, 1]] + ["0"]
+            w.writerow(row)
+
+    out = flame_fit.fit_session_participant(part, 25, model=MODEL, emb=EMB)
+    with h5py.File(out) as f:
+        assert f["tf_pose"].shape == (n, 12)
+        assert f["tf_exp"].shape == (n, 100)
+        assert f["tf_rot"].shape == (n, 3)
+        assert np.isfinite(f["tf_rot"][()]).all()
