@@ -127,8 +127,13 @@ def run_validation(spec: FlowSpec, hp: HParams, params, val_ds: WindowDataset,
 def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
           max_steps: int | None = None, render_client=None,
           dataset_cls=WindowDataset, use_mesh: bool = True,
-          verbose: bool = True):
-    """Full training run. Returns (final TrainState, best val loss)."""
+          verbose: bool = True, step_hook=None, val_hook=None):
+    """Full training run. Returns (final TrainState, best val loss).
+
+    ``step_hook(global_step, metrics_dict)`` fires on logged train steps and
+    ``val_hook(global_step, val_loss, hp, spec, params, val_batch)`` after
+    each validation — both may raise to stop the run (used by the tuning
+    harness for pruning)."""
     data_file = Path(hp.dataset_root) / hp.Data["file_name"]
     train_ds = dataset_cls(data_file, "train", hp.Data, hp.Conditioning,
                            hp.Train["seq_len"])
@@ -188,6 +193,8 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
                 m["train_loss"] = m.pop("loss")
                 m["steps_per_sec"] = global_step / (time.time() - t_start)
                 logger.scalars(global_step, m)
+                if step_hook is not None:
+                    step_hook(global_step, m)
 
             if max_steps is not None and global_step >= max_steps:
                 done = True
@@ -199,6 +206,8 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
                                       logger, global_step, sub,
                                       render_client=render_client)
             best_val = min(best_val, val_loss)
+            if val_hook is not None:
+                val_hook(global_step, val_loss, hp, spec, state.params, val_ds)
             if ckpt is not None:
                 ckpt.save(global_step, jax.device_get(state),
                           actnorm_inited=actnorm_inited, epoch=epoch,

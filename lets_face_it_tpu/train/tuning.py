@@ -1,0 +1,228 @@
+"""Hyperparameter search harness (the reference's Optuna machinery,
+hparams_tuning.py, rebuilt without the Optuna dependency — it isn't in the
+TPU image).
+
+Kept semantics:
+  * the same ``trial.suggest_*`` search-space API, so search-space configs
+    read like the reference's ``hparam_tuning_configs`` modules
+  * every trial runs training in a **subprocess** and on accelerator OOM the
+    batch size is halved and the trial retried, failing below 2
+    (hparams_tuning.py:189-209)
+  * pruning guards: train loss > 0 after 20 steps, generated jerk > 10 at
+    validation, val_loss > 0 (hparams_tuning.py:45-98)
+  * early stopping on val_loss with patience 2
+  * study state (all trials + best) persisted as JSON, resumable
+
+Sampling is random search (the reference used Optuna's default TPE; random
+search over the same space keeps the harness dependency-free — plug a
+smarter sampler into ``Trial`` if desired).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import multiprocessing
+import random
+import traceback
+from pathlib import Path
+
+
+class TrialPruned(Exception):
+    pass
+
+
+class FailedTrial(Exception):
+    pass
+
+
+class Trial:
+    """Optuna-compatible suggest API over a seeded RNG, recording choices."""
+
+    def __init__(self, number: int, seed: int):
+        self.number = number
+        self.rng = random.Random(seed)
+        self.params: dict = {}
+        self.user_attrs: dict = {}
+
+    def _record(self, name, value):
+        self.params[name] = value
+        return value
+
+    def suggest_categorical(self, name, choices):
+        return self._record(name, self.rng.choice(list(choices)))
+
+    def suggest_uniform(self, name, low, high):
+        return self._record(name, self.rng.uniform(low, high))
+
+    def suggest_float(self, name, low, high, *, log=False):
+        if log:
+            return self.suggest_loguniform(name, low, high)
+        return self.suggest_uniform(name, low, high)
+
+    def suggest_loguniform(self, name, low, high):
+        return self._record(
+            name, math.exp(self.rng.uniform(math.log(low), math.log(high))))
+
+    def suggest_int(self, name, low, high):
+        return self._record(name, self.rng.randint(low, high))
+
+    def set_user_attr(self, key, value):
+        self.user_attrs[key] = value
+
+
+def _pruning_hooks():
+    from lets_face_it_tpu.model import seqglow
+    from lets_face_it_tpu.train.metrics import calc_jerk
+
+    import jax
+    import jax.numpy as jnp
+
+    state = {"best": float("inf"), "wait": 0}
+
+    def step_hook(step, metrics):
+        if step > 20 and metrics["train_loss"] > 0:
+            raise TrialPruned(f"loss > 0 at step {step}")
+
+    def val_hook(step, val_loss, hp, spec, params, val_ds):
+        batch = next(val_ds.epoch_batches(min(hp.batch_size, 16),
+                                          shuffle=False))
+        data = {k: jnp.asarray(v) for k, v in batch.items()}
+        gen = seqglow.sequence_sample(
+            spec, params, data, hp.Validation["seq_len"],
+            eps_std=hp.Infer["eps"], rng=jax.random.PRNGKey(step))
+        jerk = float(calc_jerk(gen))
+        if jerk > 10 and step > 20:
+            raise TrialPruned(f"generated jerk {jerk:.2f} > 10")
+        if val_loss > 0:
+            raise TrialPruned(f"val_loss {val_loss:.2f} > 0")
+        if val_loss < state["best"]:
+            state["best"] = val_loss
+            state["wait"] = 0
+        else:
+            state["wait"] += 1
+            if state["wait"] >= 2:
+                raise StopIteration("early stop: patience exceeded")
+
+    return step_hook, val_hook
+
+
+def _run_trial(hp_dict, batch_size, max_steps, seed, return_dict):
+    """Subprocess body: run training with pruning hooks."""
+    try:
+        from lets_face_it_tpu.hparams import HParams
+        from lets_face_it_tpu.train.loop import train
+
+        hp = HParams(**hp_dict)
+        hp.batch_size = batch_size
+        step_hook, val_hook = _pruning_hooks()
+        _state, best_val = train(hp, seed=seed, log_dir=None, ckpt_dir=None,
+                                 max_steps=max_steps, verbose=True,
+                                 step_hook=step_hook, val_hook=val_hook)
+        return_dict["val_loss"] = float(best_val)
+    except TrialPruned as exc:
+        return_dict["pruned"] = str(exc)
+    except StopIteration as exc:
+        return_dict["early_stop"] = str(exc)
+    except Exception as exc:  # noqa: BLE001
+        msg = f"{type(exc).__name__}: {exc}"
+        if "RESOURCE_EXHAUSTED" in str(exc) or "out of memory" in str(exc).lower():
+            return_dict["OOM"] = True
+        else:
+            return_dict["error"] = msg
+            return_dict["traceback"] = traceback.format_exc()[-3000:]
+
+
+class Study:
+    """JSON-file-backed study: trials, best value, resumable."""
+
+    def __init__(self, name: str, storage_dir="tuning_studies"):
+        self.name = name
+        self.path = Path(storage_dir) / f"{name}.json"
+        self.trials: list[dict] = []
+        if self.path.exists():
+            self.trials = json.loads(self.path.read_text())["trials"]
+
+    def _save(self):
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        best = self.best_trial
+        self.path.write_text(json.dumps(
+            {"name": self.name, "trials": self.trials,
+             "best": best}, indent=2))
+
+    @property
+    def best_trial(self):
+        done = [t for t in self.trials if t.get("value") is not None]
+        return min(done, key=lambda t: t["value"]) if done else None
+
+    def optimize(self, base_hparams, space_fn, *, n_trials: int,
+                 max_steps: int | None = None, seed: int = 0,
+                 use_subprocess: bool = True):
+        """space_fn(hparams, trial) -> hparams (mutated), like the reference's
+        ``hparam_options`` modules."""
+        from lets_face_it_tpu.hparams import HParams, validate_hparams
+
+        start_number = len(self.trials)
+        for i in range(n_trials):
+            number = start_number + i
+            trial = Trial(number, seed=seed + number)
+            hp = HParams(**json.loads(json.dumps(base_hparams.to_dict(),
+                                                 default=str)))
+            hp = space_fn(hp, trial)
+            record = {"number": number, "params": trial.params,
+                      "value": None, "state": "running",
+                      "user_attrs": trial.user_attrs}
+            try:
+                validate_hparams(hp)
+            except AssertionError as exc:
+                record.update(state="invalid", note=str(exc))
+                self.trials.append(record)
+                self._save()
+                continue
+
+            batch_size = hp.batch_size
+            while batch_size >= 2:
+                result = self._execute(hp, batch_size, max_steps,
+                                       seed + number, use_subprocess)
+                if result.get("OOM"):
+                    batch_size //= 2
+                    continue
+                break
+            else:
+                record.update(state="failed", note="batch size < 2 after OOM")
+                self.trials.append(record)
+                self._save()
+                continue
+
+            record["user_attrs"]["batch_size"] = batch_size
+            if "val_loss" in result:
+                record.update(value=result["val_loss"], state="complete")
+            elif "pruned" in result:
+                record.update(state="pruned", note=result["pruned"])
+            elif "early_stop" in result:
+                record.update(state="complete", note=result["early_stop"])
+            else:
+                record.update(state="failed",
+                              note=result.get("error", "unknown"),
+                              traceback=result.get("traceback"))
+            self.trials.append(record)
+            self._save()
+        return self.best_trial
+
+    @staticmethod
+    def _execute(hp, batch_size, max_steps, seed, use_subprocess) -> dict:
+        if use_subprocess:
+            ctx = multiprocessing.get_context("spawn")
+            manager = ctx.Manager()
+            ret = manager.dict()
+            p = ctx.Process(target=_run_trial,
+                            args=(hp.to_dict(), batch_size, max_steps, seed,
+                                  ret))
+            p.start()
+            p.join()
+            if p.exitcode != 0 and not ret:
+                return {"error": f"trial subprocess died (exit {p.exitcode})"}
+            return dict(ret)
+        ret: dict = {}
+        _run_trial(hp.to_dict(), batch_size, max_steps, seed, ret)
+        return ret
