@@ -52,10 +52,13 @@ def bench_sampling(hp, spec, params, batch_size: int, gen_frames: int = 100,
                                        eps_std=hp.Infer["eps"], rng=rng)
 
     rng = jax.random.PRNGKey(1)
+    # pre-split keys: an eager fold_in per iteration would be a separate
+    # host->device dispatch inside the timing loop
+    keys = list(jax.random.split(rng, iters))
     sample(params, data, rng).block_until_ready()  # compile
     t0 = time.perf_counter()
     for i in range(iters):
-        out = sample(params, data, jax.random.fold_in(rng, i))
+        out = sample(params, data, keys[i])
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
     frames_per_sec = batch_size * gen_frames / dt

@@ -137,12 +137,40 @@ def _project_cond(flow_params, cond):
     return proj
 
 
-def frame_fwd(spec: FlowSpec, flow_params, x, cond, states, *, collect_scales=False):
-    """Encode one frame through all K steps. x: [B, C], cond: [B, F].
+def project_cond_frames(flow_params, cond_all):
+    """Projections for EVERY frame at once: [B, N, F] -> [N, K, B, cond_dim]
+    (pre-activation, bias included). Hoists the largest matmul of the
+    per-frame step out of the sequential time scan into one MXU-shaped
+    batched contraction."""
+    w = flow_params["cond_proj"]["w"]
+    b = flow_params["cond_proj"]["b"]
+    proj = jnp.einsum("bnf,kcf->nkbc", cond_all, w) + b[None, :, None, :]
+    return proj
+
+
+def project_cond_split(flow_params, p1_dim: int, fixed_cond_all):
+    """Sampling-path split: the own-face encoding (first ``p1_dim`` features)
+    is autoregressive, the rest is known upfront. Precomputes the fixed part
+    (+ bias) for all frames and returns the p1 weight slice for the in-scan
+    contribution: (fixed_projs [N, K, B, c], w_p1 [K, c, p1_dim])."""
+    w = flow_params["cond_proj"]["w"]            # [K, c, F]
+    b = flow_params["cond_proj"]["b"]
+    w_p1 = w[:, :, :p1_dim]
+    w_fixed = w[:, :, p1_dim:]
+    fixed = (jnp.einsum("bnf,kcf->nkbc", fixed_cond_all, w_fixed)
+             + b[None, :, None, :])
+    return fixed, w_p1
+
+
+def frame_fwd(spec: FlowSpec, flow_params, x, cond, states, *,
+              collect_scales=False, cond_projs=None):
+    """Encode one frame through all K steps. x: [B, C], cond: [B, F]
+    (ignored when precomputed ``cond_projs`` [K, B, cond_dim] are given).
 
     Returns (z, logdet [B], new_states[, scales [K, B, C//2]]).
     """
-    cond_projs = _project_cond(flow_params, cond)  # [K, B, cond_dim]
+    if cond_projs is None:
+        cond_projs = _project_cond(flow_params, cond)  # [K, B, cond_dim]
     logdet0 = jnp.zeros(x.shape[:-1], x.dtype)
 
     def body(carry, step_in):
@@ -162,20 +190,23 @@ def frame_fwd(spec: FlowSpec, flow_params, x, cond, states, *, collect_scales=Fa
         return (z, logdet), (new_state, scale_out)
 
     (z, logdet), (new_states, scales) = jax.lax.scan(
-        body, (x, logdet0), (flow_params, states, cond_projs))
+        body, (x, logdet0), (flow_params, states, cond_projs),
+        unroll=min(spec.step_unroll, spec.n_steps))
     if collect_scales:
         return z, logdet, new_states, scales
     return z, logdet, new_states
 
 
-def frame_rev(spec: FlowSpec, flow_params, z, cond, states):
+def frame_rev(spec: FlowSpec, flow_params, z, cond, states, *,
+              cond_projs=None):
     """Decode one frame: traverse the K steps in reverse order.
 
     Each step's coupling RNN still advances its own private state exactly once
     per frame, so reverse traversal threads states identically to the
     reference's decode path (models.py:345-373, 453-462).
     """
-    cond_projs = _project_cond(flow_params, cond)
+    if cond_projs is None:
+        cond_projs = _project_cond(flow_params, cond)
     logdet0 = jnp.zeros(z.shape[:-1], z.dtype)
 
     def body(carry, step_in):
@@ -190,7 +221,8 @@ def frame_rev(spec: FlowSpec, flow_params, z, cond, states):
         return (z, logdet), new_state
 
     (x, logdet), new_states = jax.lax.scan(
-        body, (z, logdet0), (flow_params, states, cond_projs), reverse=True)
+        body, (z, logdet0), (flow_params, states, cond_projs), reverse=True,
+        unroll=min(spec.step_unroll, spec.n_steps))
     return x, logdet, new_states
 
 

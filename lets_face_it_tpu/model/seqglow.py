@@ -70,16 +70,20 @@ def sequence_nll(spec: FlowSpec, params: SeqGlowParams, batch, *, rng=None,
         frame_nbs=frame_nbs, rng=rng, training=training)          # [B, N, F]
 
     xs = jnp.moveaxis(x[:, start:], 1, 0)                         # [N, B, C]
-    conds = jnp.moveaxis(cond_all, 1, 0)                          # [N, B, F]
+    # hoist all K x N conditioning projections out of the time scan into one
+    # MXU-shaped contraction
+    cond_projs = flow.project_cond_frames(params.flow, cond_all)  # [N, K, B, c]
     states0 = flow.init_flow_states(spec, b, x.dtype)
 
     def step(states, inp):
-        x_t, cond_t = inp
+        x_t, proj_t = inp
         if collect_scales:
             z, logdet, states, scales = flow.frame_fwd(
-                spec, params.flow, x_t, cond_t, states, collect_scales=True)
+                spec, params.flow, x_t, None, states, collect_scales=True,
+                cond_projs=proj_t)
         else:
-            z, logdet, states = flow.frame_fwd(spec, params.flow, x_t, cond_t, states)
+            z, logdet, states = flow.frame_fwd(spec, params.flow, x_t, None,
+                                               states, cond_projs=proj_t)
             scales = jnp.zeros((0,), x_t.dtype)
         objective = logdet + ops.gaussian_logp(z)
         nll = nll_from_objective(objective)                       # [B]
@@ -87,7 +91,7 @@ def sequence_nll(spec: FlowSpec, params: SeqGlowParams, batch, *, rng=None,
 
     if spec.remat:
         step = jax.checkpoint(step)
-    _, (z_seq, losses, scales) = jax.lax.scan(step, states0, (xs, conds))
+    _, (z_seq, losses, scales) = jax.lax.scan(step, states0, (xs, cond_projs))
     loss = jnp.mean(losses)
     if collect_scales:
         return z_seq, loss, losses, scales
@@ -123,7 +127,12 @@ def sequence_sample(spec: FlowSpec, params: SeqGlowParams, data, seq_len: int,
 
     fixed = encoders.encode_fixed_conditioning(
         spec.cond, params.encoder, data, times, frame_nbs=frame_nbs)  # [B, N, F']
-    fixed_t = jnp.moveaxis(fixed, 1, 0)                               # [N, B, F']
+
+    # precompute the non-autoregressive slice of every step's conditioning
+    # projection for all frames; only the own-face contribution (a small
+    # [B, p1_dim] @ [p1_dim, K*c] matmul) remains inside the scan
+    p1_dim = spec.cond.p1_face.out_dim
+    fixed_projs, w_p1 = flow.project_cond_split(params.flow, p1_dim, fixed)
 
     h1 = spec.cond.p1_face.history
     face_hist0 = x_seed[:, start - h1 : start]                        # [B, h1, C]
@@ -136,18 +145,20 @@ def sequence_sample(spec: FlowSpec, params: SeqGlowParams, data, seq_len: int,
 
     def step(carry, inp):
         face_hist, states = carry
-        z_t, fixed_cond = inp
-        if spec.cond.p1_face.out_dim > 0:
+        z_t, fixed_proj = inp
+        if p1_dim > 0:
             p1_enc = encoders.encode_p1_face_single(
                 spec.cond, params.encoder, face_hist)
-            cond_t = jnp.concatenate([p1_enc, fixed_cond], axis=-1)
+            proj_t = fixed_proj + jnp.einsum("bd,kcd->kbc", p1_enc, w_p1)
         else:
-            cond_t = fixed_cond
-        x_t, logdet, states = flow.frame_rev(spec, params.flow, z_t, cond_t, states)
+            proj_t = fixed_proj
+        x_t, logdet, states = flow.frame_rev(spec, params.flow, z_t, None,
+                                             states, cond_projs=proj_t)
         face_hist = jnp.concatenate([face_hist[:, 1:], x_t[:, None]], axis=1)
         return (face_hist, states), (x_t, logdet)
 
-    _, (xs, logdets) = jax.lax.scan(step, (face_hist0, states0), (zs, fixed_t))
+    _, (xs, logdets) = jax.lax.scan(step, (face_hist0, states0),
+                                    (zs, fixed_projs))
     return jnp.moveaxis(xs, 0, 1)                                     # [B, N, C]
 
 
@@ -164,14 +175,15 @@ def sequence_invert(spec: FlowSpec, params: SeqGlowParams, z_seq, data):
     frame_nbs = _frame_numbers(spec, data, n) if spec.cond.use_frame_nb else None
     cond_all = encoders.encode_conditioning(
         spec.cond, params.encoder, data, x, times, frame_nbs=frame_nbs)
-    conds = jnp.moveaxis(cond_all, 1, 0)
+    cond_projs = flow.project_cond_frames(params.flow, cond_all)
     states0 = flow.init_flow_states(spec, b, x.dtype)
 
     def step(states, inp):
-        z_t, cond_t = inp
-        x_t, logdet, states = flow.frame_rev(spec, params.flow, z_t, cond_t, states)
+        z_t, proj_t = inp
+        x_t, logdet, states = flow.frame_rev(spec, params.flow, z_t, None,
+                                             states, cond_projs=proj_t)
         objective = logdet + ops.gaussian_logp(z_t)
         return states, (x_t, jnp.mean(nll_from_objective(objective)))
 
-    _, (xs, losses) = jax.lax.scan(step, states0, (z_seq, conds))
+    _, (xs, losses) = jax.lax.scan(step, states0, (z_seq, cond_projs))
     return jnp.moveaxis(xs, 0, 1), jnp.mean(losses)
