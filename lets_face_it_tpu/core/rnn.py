@@ -81,12 +81,28 @@ def lstm_cell(params, x, state):
     return h_new, c_new
 
 
-def gru_scan(params, xs, h0=None):
+def gru_cell_precomputed(params, gi, h):
+    """GRU step with the input-side projection (gi = x @ W_ih^T + b_ih)
+    already computed. Only the recurrent matmul remains sequential."""
+    gh = h @ params["w_hh"].T + params["b_hh"]
+    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    return (1.0 - z) * n + z * h
+
+
+def gru_scan(params, xs, h0=None, *, unroll: int = 1):
     """Run a GRU over the time axis. xs: [B, T, in] -> (outputs [B, T, H], h_T).
 
-    Equivalent to a single-layer batch_first ``torch.nn.GRU``. The scan is over
-    T (short sliding windows in this model, <= 24 frames), batched over B on
-    the MXU at every step.
+    Equivalent to a single-layer batch_first ``torch.nn.GRU``. The scan is
+    over T with the full batch on the MXU each step. (Hoisting the input-side
+    gate projections out of the scan — the cuDNN trick — was measured 2x
+    SLOWER here: it
+    materializes a [B, T, 3H] gate tensor through HBM that far outweighs the
+    recomputed small x-projection; unrolling this scan likewise slowed the
+    backward pass. This model is bandwidth-, not FLOP-bound.)
     """
     hidden = params["w_hh"].shape[1]
     if h0 is None:
@@ -96,11 +112,12 @@ def gru_scan(params, xs, h0=None):
         h_new = gru_cell(params, x_t, h)
         return h_new, h_new
 
-    h_last, ys = jax.lax.scan(step, h0, jnp.moveaxis(xs, -2, 0))
+    h_last, ys = jax.lax.scan(step, h0, jnp.moveaxis(xs, -2, 0),
+                              unroll=unroll)
     return jnp.moveaxis(ys, 0, -2), h_last
 
 
-def lstm_scan(params, xs, state0=None):
+def lstm_scan(params, xs, state0=None, *, unroll: int = 1):
     """Single-layer LSTM over time. xs: [B, T, in] -> (outputs, (h_T, c_T))."""
     hidden = params["w_hh"].shape[1]
     if state0 is None:
@@ -111,5 +128,6 @@ def lstm_scan(params, xs, state0=None):
         h_new, c_new = lstm_cell(params, x_t, state)
         return (h_new, c_new), h_new
 
-    state_last, ys = jax.lax.scan(step, state0, jnp.moveaxis(xs, -2, 0))
+    state_last, ys = jax.lax.scan(step, state0, jnp.moveaxis(xs, -2, 0),
+                                  unroll=unroll)
     return jnp.moveaxis(ys, 0, -2), state_last
