@@ -21,6 +21,10 @@ import time
 import jax
 import numpy as np
 
+# full-f32 matmuls for parity with the fp32 PyTorch reference; the fused
+# Pallas sampling kernel pins its own dot precision
+jax.config.update("jax_default_matmul_precision", "highest")
+
 from __graft_entry__ import _example_batch, _tiny_final_hparams
 
 REALTIME_FPS = 25.0
@@ -69,9 +73,10 @@ def bench_training(hp, spec, params, batch_size: int = 256, iters: int = 5):
     from lets_face_it_tpu.train import state as train_state
     from lets_face_it_tpu.train.optim import build_optimizer
 
+    # fresh state: the jitted step donates its input state, so never share
+    # params arrays across bench runs
     optimizer = build_optimizer(hp, steps_per_epoch=100)
     state = train_state.init_train_state(jax.random.PRNGKey(0), spec, optimizer)
-    state = state._replace(params=params)
     step = train_state.make_train_step(spec, hp, optimizer)
     batch = {k: jax.numpy.asarray(v) for k, v in
              _example_batch(hp, batch_size, hp.Train["seq_len"]).items()}
@@ -94,6 +99,8 @@ def main():
     fps_b1, _ = bench_sampling(hp, spec, params, batch_size=1)
     fps_batch, _ = bench_sampling(hp, spec, params, batch_size=128)
     train_sps, train_dt = bench_training(hp, spec, params)
+    with jax.default_matmul_precision("default"):
+        train_sps_fast, _ = bench_training(hp, spec, params)
 
     target = REALTIME_FPS * TARGET_REALTIME_FACTOR
     result = {
@@ -104,6 +111,7 @@ def main():
         "sampling_fps_batch1": round(fps_b1, 1),
         "realtime_factor_batch1": round(fps_b1 / REALTIME_FPS, 2),
         "train_steps_per_sec_b256_T80": round(train_sps, 3),
+        "train_steps_per_sec_b256_T80_bf16matmul": round(train_sps_fast, 3),
         "train_windows_per_sec": round(train_sps * 256, 1),
         "device": f"{dev.device_kind}",
     }

@@ -1,0 +1,219 @@
+"""Fused Pallas TPU kernel for the sampling-path flow frame step.
+
+One kernel inverts a frame through all K flow steps (coupling -> 1x1 ->
+actnorm, reverse order) with the coupling-GRU states updated in place:
+
+* the large per-step GRU input weights stream HBM -> VMEM with double-buffered
+  async DMA (prefetch step k+1 during step k's compute);
+* recurrent/output/actnorm/1x1 weights stay VMEM-resident across all K steps;
+* the LU 1x1 inverse is pre-materialized outside the kernel (triangular
+  solves once per sampling call), so the in-kernel inverse is one matmul;
+* the coupling head's even/odd shift/scale interleave (thops.py:36-44) is
+  pre-permuted into contiguous halves by reordering the output-projection
+  rows, so the kernel slices contiguously along lanes.
+
+Used by ``seqglow.sequence_sample`` on TPU (inference path only — training
+uses the autodiff-friendly XLA path). Equivalence to the XLA path is asserted
+in tests (interpret mode on CPU) and at import-choice time the caller can
+force either path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lets_face_it_tpu.core import ops
+from lets_face_it_tpu.model.spec import FlowSpec
+
+
+class SamplingWeights(NamedTuple):
+    """Flow weights prepared for the fused reverse kernel."""
+    w_ih_t: jnp.ndarray    # [K, Z1+cond, 3H]  (pre-transposed GRU input weights)
+    w_hh_t: jnp.ndarray    # [K, H, 3H]
+    b_ih: jnp.ndarray      # [K, 3H]
+    b_hh: jnp.ndarray      # [K, 3H]
+    out_w_t: jnp.ndarray   # [K, H, Cout] rows permuted: [shift | scale] halves
+    out_b: jnp.ndarray     # [K, Cout] permuted + logscale folded
+    w_inv: jnp.ndarray     # [K, C, C]  right-inverse of P L U
+    an_bias: jnp.ndarray   # [K, C]
+    an_neg_logs_exp: jnp.ndarray  # [K, C] = exp(-logs)
+
+
+def prepare_sampling_weights(spec: FlowSpec, flow_params) -> SamplingWeights:
+    assert spec.rnn_type == "gru" and spec.coupling == "affine"
+    assert spec.permutation == "invconv"
+    c = spec.channels
+    cout = spec.coupling_out_dim
+
+    # pre-materialize the 1x1 inverses once per call: triangular solves at
+    # pinned-HIGHEST matmul precision, then one Newton-Schulz refinement step
+    # X <- X (2I - W X) to squeeze the residual toward f32 rounding (the
+    # reference reaches the same accuracy by inverting in float64,
+    # modules.py:175-177 — unavailable on TPU).
+    def invert_one(p):
+        eye = jnp.eye(c, dtype=p["l"].dtype)
+        x0, _ = ops.invconv_rev(p, eye, jnp.zeros(c))
+        w, _ = ops.invconv_fwd(p, eye, jnp.zeros(c))  # rows i: e_i @ W == W
+        hi = jax.lax.Precision.HIGHEST
+        wx = jnp.dot(w, x0, precision=hi)
+        return jnp.dot(x0, 2.0 * eye - wx, precision=hi)
+
+    with jax.default_matmul_precision("highest"):
+        w_inv = jax.vmap(invert_one)(flow_params["perm"])
+
+    # fold the linear-zeros logscale into weight+bias; permute rows so that
+    # h @ W^T yields [shift(0::2) | scale(1::2)] contiguously
+    out_w = flow_params["out"]["w"]                    # [K, Cout, H]
+    out_b = flow_params["out"]["b"]
+    out_scale = jnp.exp(flow_params["out"]["logs"] * 3.0)
+    out_w = out_w * out_scale[..., None]
+    out_b = out_b * out_scale
+    perm = jnp.concatenate([jnp.arange(0, cout, 2), jnp.arange(1, cout, 2)])
+    out_w = out_w[:, perm, :]
+    out_b = out_b[:, perm]
+
+    # pad the streamed weight's sublane dim to the (8, 128) tiling so the
+    # per-step HBM slice is tile-aligned; the matching rnn_in zero-padding is
+    # exact (zero rows contribute nothing)
+    w_ih_t = jnp.swapaxes(flow_params["rnn"]["w_ih"], 1, 2)   # [K, in, 3H]
+    pad = (-w_ih_t.shape[1]) % 8
+    if pad:
+        w_ih_t = jnp.pad(w_ih_t, ((0, 0), (0, pad), (0, 0)))
+
+    return SamplingWeights(
+        w_ih_t=w_ih_t,
+        w_hh_t=jnp.swapaxes(flow_params["rnn"]["w_hh"], 1, 2),
+        b_ih=flow_params["rnn"]["b_ih"],
+        b_hh=flow_params["rnn"]["b_hh"],
+        out_w_t=jnp.swapaxes(out_w, 1, 2),
+        out_b=out_b,
+        w_inv=w_inv,
+        an_bias=flow_params["actnorm"]["bias"],
+        an_neg_logs_exp=jnp.exp(-flow_params["actnorm"]["logs"]),
+    )
+
+
+def _kernel(spec: FlowSpec,
+            z_ref, cond_ref, states_ref,            # VMEM inputs
+            w_ih_hbm,                               # HBM (streamed)
+            w_hh_ref, b_ih_ref, b_hh_ref,
+            out_w_ref, out_b_ref, w_inv_ref,
+            an_bias_ref, an_neg_ref,
+            x_out_ref, states_out_ref,              # outputs
+            w_buf, dma_sems):                       # scratch
+    k_steps = spec.n_steps
+    z1d = spec.z1_dim
+    c = spec.channels
+    half = spec.coupling_out_dim // 2
+
+    def get_dma(slot, k):
+        return pltpu.make_async_copy(
+            w_ih_hbm.at[k], w_buf.at[slot], dma_sems.at[slot])
+
+    # reverse order: step K-1 first
+    get_dma(0, k_steps - 1).start()
+
+    z = z_ref[:]                                   # [B, C]
+
+    def body(i, z):
+        k = k_steps - 1 - i
+        slot = i % 2
+
+        @pl.when(i + 1 < k_steps)
+        def _():
+            get_dma((i + 1) % 2, k - 1).start()
+
+        get_dma(slot, k).wait()
+
+        z1 = z[:, :z1d]
+        z2 = z[:, z1d:]
+        cond_t = jax.nn.leaky_relu(cond_ref[k], 0.01)
+        rnn_in = jnp.concatenate([z1, cond_t], axis=-1)
+        in_pad = w_buf.shape[1] - rnn_in.shape[-1]
+        if in_pad:
+            rnn_in = jnp.concatenate(
+                [rnn_in, jnp.zeros((rnn_in.shape[0], in_pad), rnn_in.dtype)],
+                axis=-1)
+
+        gi = jnp.dot(rnn_in, w_buf[slot], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST) + b_ih_ref[k]
+        h_prev = states_ref[k]
+        gh = jnp.dot(h_prev, w_hh_ref[k], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST) + b_hh_ref[k]
+        hdim = h_prev.shape[-1]
+        r = jax.nn.sigmoid(gi[:, :hdim] + gh[:, :hdim])
+        zz = jax.nn.sigmoid(gi[:, hdim:2 * hdim] + gh[:, hdim:2 * hdim])
+        n = jnp.tanh(gi[:, 2 * hdim:] + r * gh[:, 2 * hdim:])
+        h_new = (1.0 - zz) * n + zz * h_prev
+        states_out_ref[k] = h_new
+
+        hout = jnp.dot(h_new, out_w_ref[k], preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST) + out_b_ref[k]
+        shift = hout[:, :half]
+        scale = jnp.maximum(jax.nn.sigmoid(hout[:, half:] + 2.0),
+                            spec.scale_eps)
+        z2 = z2 / scale - shift
+        z = jnp.concatenate([z1, z2], axis=-1)
+
+        z = jnp.dot(z, w_inv_ref[k], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        z = z * an_neg_ref[k] - an_bias_ref[k]
+        return z
+
+    x_out_ref[:] = jax.lax.fori_loop(0, k_steps, body, z)
+
+
+@partial(jax.jit, static_argnames=("spec", "interpret"))
+def frame_rev_fused(spec: FlowSpec, weights: SamplingWeights, z, cond_projs,
+                    states, *, interpret: bool = False):
+    """Fused reverse frame step: z [B, C], cond_projs [K, B, cond],
+    states [K, B, H] -> (x [B, C], new_states)."""
+    b, c = z.shape
+    k, _, h3 = weights.w_ih_t.shape[0], None, weights.w_ih_t.shape[2]
+
+    kernel = partial(_kernel, spec)
+    x, new_states = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, c), z.dtype),
+            jax.ShapeDtypeStruct(states.shape, states.dtype),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # z
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cond_projs
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # states
+            pl.BlockSpec(memory_space=pl.ANY),       # w_ih_t (streamed)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w_hh_t
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # b_ih
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # b_hh
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # out_w_t
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # out_b
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w_inv
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # an_bias
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # an_neg
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2,) + weights.w_ih_t.shape[1:], jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(z, cond_projs, states, weights.w_ih_t, weights.w_hh_t, weights.b_ih,
+      weights.b_hh, weights.out_w_t, weights.out_b, weights.w_inv,
+      weights.an_bias, weights.an_neg_logs_exp)
+    return x, new_states
+
+
+def pallas_supported(spec: FlowSpec) -> bool:
+    return (spec.rnn_type == "gru" and spec.coupling == "affine"
+            and spec.permutation == "invconv"
+            and spec.channels % 2 == 0)

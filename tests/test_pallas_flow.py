@@ -1,0 +1,63 @@
+"""Fused Pallas sampling kernel vs the XLA reference path (interpret mode on
+CPU; the same comparison runs compiled on real TPU via bench.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lets_face_it_tpu.model import FlowSpec, flow, init_seqglow
+from lets_face_it_tpu.ops import pallas_flow
+
+from conftest import tiny_hparams
+
+
+def _final_like_spec():
+    hp = tiny_hparams()
+    # even channels, gru+affine+invconv — the kernel's supported envelope
+    hp.Conditioning["p1_face"]["dim"] = 12
+    return FlowSpec.build(hp)
+
+
+def test_fused_frame_rev_matches_xla():
+    spec = _final_like_spec()
+    assert pallas_flow.pallas_supported(spec)
+    params = init_seqglow(jax.random.PRNGKey(0), spec)
+    # non-trivial couplings
+    mask = flow.trainable_mask(params.flow)
+    pflow = jax.tree.map(
+        lambda x, m: x + 0.05 * jax.random.normal(jax.random.PRNGKey(9), x.shape)
+        if m else x, params.flow, mask)
+
+    b = 4
+    z = jax.random.normal(jax.random.PRNGKey(1), (b, spec.channels))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (b, spec.cond.feature_dim))
+    states = jax.random.normal(
+        jax.random.PRNGKey(3), (spec.n_steps, b, spec.hidden_channels)) * 0.1
+
+    x_ref, _, states_ref = flow.frame_rev(spec, pflow, z, cond, states)
+
+    weights = pallas_flow.prepare_sampling_weights(spec, pflow)
+    cond_projs = flow._project_cond(pflow, cond)
+    x_got, states_got = pallas_flow.frame_rev_fused(
+        spec, weights, z, cond_projs, states, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(x_got), np.asarray(x_ref),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(states_got), np.asarray(states_ref),
+                               atol=1e-5)
+
+
+def test_fused_roundtrip_forward_reverse():
+    spec = _final_like_spec()
+    params = init_seqglow(jax.random.PRNGKey(4), spec)
+    b = 2
+    x = jax.random.normal(jax.random.PRNGKey(5), (b, spec.channels))
+    cond = jax.random.normal(jax.random.PRNGKey(6), (b, spec.cond.feature_dim))
+    states = flow.init_flow_states(spec, b)
+
+    z, _, _ = flow.frame_fwd(spec, params.flow, x, cond, states)
+    weights = pallas_flow.prepare_sampling_weights(spec, params.flow)
+    cond_projs = flow._project_cond(params.flow, cond)
+    x_back, _ = pallas_flow.frame_rev_fused(spec, weights, z, cond_projs,
+                                            states, interpret=True)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-4)
