@@ -188,6 +188,9 @@ def main():
 
         os.environ["JAX_PLATFORMS"] = "cpu"
         os.environ["JAX_PLATFORM_NAME"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     dataset_dir = Path(args.dataset_dir)
     sessions = sorted(p for p in dataset_dir.iterdir() if p.is_dir())

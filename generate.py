@@ -36,6 +36,9 @@ def main():
 
         os.environ["JAX_PLATFORMS"] = "cpu"
         os.environ["JAX_PLATFORM_NAME"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
 

@@ -214,6 +214,12 @@ def frame_rev_fused(spec: FlowSpec, weights: SamplingWeights, z, cond_projs,
 
 
 def pallas_supported(spec: FlowSpec) -> bool:
+    """The fused kernel's envelope: GRU + affine + invconv flows with
+    Mosaic-tileable weight shapes — the VMEM-resident per-step slices index
+    the lane dimension, so 3H and cond_dim must be multiples of 128 (the
+    final model: H=128, cond=512). Anything else falls back to the XLA path."""
     return (spec.rnn_type == "gru" and spec.coupling == "affine"
             and spec.permutation == "invconv"
-            and spec.channels % 2 == 0)
+            and spec.channels % 2 == 0
+            and (3 * spec.hidden_channels) % 128 == 0
+            and spec.cond.cond_dim % 128 == 0)

@@ -158,6 +158,9 @@ def main():
 
         os.environ["JAX_PLATFORMS"] = "cpu"
         os.environ["JAX_PLATFORM_NAME"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     service = RenderService(args.flame_model, Path(args.video_dir))
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(service))

@@ -147,6 +147,42 @@ def generate_videos(flame_model, sequences, output_dir, data_dir=None,
             shutil.move(str(f_name), output_file)
 
 
+def rerender_from_meta(flame_model, meta_dir, frames_lookup, output_dir, *,
+                       generator=None, data_dir=None, overwrite=False):
+    """Re-render previously generated study videos from their meta JSONs
+    (the reference's rerender.py flow): each ``meta/<name>.txt`` records the
+    left/right placement, genders, shapes and skin colors; ``frames_lookup``
+    maps a video name to its packed [T, 273] frame matrix (and optional
+    50-fps frame numbers). When ``generator`` is given the right side is
+    regenerated by the model, otherwise ground truth is re-rendered."""
+    meta_dir = Path(meta_dir)
+    for meta_file in sorted(meta_dir.glob("*.txt")):
+        info = json.loads(meta_file.read_text())
+        name = info["file_name"]
+        lookup = frames_lookup(name)
+        if lookup is None:
+            continue
+        frames, frame_nbs, session = lookup
+        left_face = face_block(frames, info["left_start"])
+        if generator is not None:
+            predicted = generator.generate(frames)
+            right_face = {
+                "expression": predicted[0, :, :50],
+                "jaw": predicted[0, :, 100:103],
+                "neck": predicted[0, :, 103:106],
+            }
+            n = min(left_face["expression"].shape[0],
+                    right_face["expression"].shape[0])
+            left_face = {k: v[-n:] for k, v in left_face.items()}
+            right_face = {k: v[-n:] for k, v in right_face.items()}
+        else:
+            right_face = face_block(frames, info["right_start"])
+        generate_videos(flame_model,
+                        [(name, session, left_face, right_face, info,
+                          frame_nbs or [])],
+                        output_dir, data_dir=data_dir, overwrite=overwrite)
+
+
 def face_block(frames: np.ndarray, start: int) -> dict:
     """Slice a packed 273-D frame matrix into an expression/jaw/neck dict at
     a 0/136 offset (render_seq.py:31-36)."""

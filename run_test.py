@@ -31,6 +31,9 @@ def main():
 
         os.environ["JAX_PLATFORMS"] = "cpu"
         os.environ["JAX_PLATFORM_NAME"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from lets_face_it_tpu.sample import Generator
     from lets_face_it_tpu.train.evaluate import run_test, summarize

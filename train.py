@@ -33,11 +33,19 @@ def main():
     parser.add_argument("--max_epochs", type=int, default=None)
     parser.add_argument("--synthetic-data", action="store_true",
                         help="write a synthetic fixture into dataset_root first")
+    parser.add_argument("--resume_from", default=None,
+                        help="checkpoint dir to resume training from")
+    parser.add_argument("--render_url", default=None,
+                        help="render-service URL for validation videos "
+                             "(e.g. http://localhost:8000)")
     args = parser.parse_args()
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
         os.environ["JAX_PLATFORM_NAME"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
 
@@ -68,10 +76,20 @@ def main():
     log_dir = args.log_dir or f"runs/{run_name}"
     ckpt_dir = args.ckpt_dir or f"checkpoints/{run_name}"
 
+    if args.resume_from:
+        hp.resume_from_checkpoint = args.resume_from
+
+    render_client = None
+    if args.render_url and hp.Validation.get("render", False):
+        from lets_face_it_tpu.train.render_client import RenderClient
+
+        render_client = RenderClient(args.render_url, hp)
+
     from lets_face_it_tpu.train.loop import train
 
     state, best_val = train(hp, seed=args.seed, log_dir=log_dir,
-                            ckpt_dir=ckpt_dir, max_steps=args.max_steps)
+                            ckpt_dir=ckpt_dir, max_steps=args.max_steps,
+                            render_client=render_client)
     print(f"training done; best val_loss = {best_val:.4f}")
 
 

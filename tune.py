@@ -32,6 +32,9 @@ def main():
 
         os.environ["JAX_PLATFORMS"] = "cpu"
         os.environ["JAX_PLATFORM_NAME"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from hparam_tuning_configs import hparam_configs
     from lets_face_it_tpu.hparams import load_hparams
