@@ -18,9 +18,17 @@ def _final_like_spec():
     return FlowSpec.build(hp)
 
 
+def test_pallas_supported_envelope():
+    # the tiny test spec is below the Mosaic lane-tiling envelope...
+    assert not pallas_flow.pallas_supported(_final_like_spec())
+    # ...but the final-model dims are inside it
+    import __graft_entry__ as graft
+
+    assert pallas_flow.pallas_supported(FlowSpec.build(graft._tiny_final_hparams()))
+
+
 def test_fused_frame_rev_matches_xla():
     spec = _final_like_spec()
-    assert pallas_flow.pallas_supported(spec)
     params = init_seqglow(jax.random.PRNGKey(0), spec)
     # non-trivial couplings
     mask = flow.trainable_mask(params.flow)
