@@ -1,0 +1,84 @@
+"""Input pipeline acceleration: native batch gathering + async prefetch.
+
+``NativeGather`` binds ``native/window_loader.cpp`` (OpenMP parallel window
+copies) with a transparent numpy fallback; ``prefetch_batches`` runs any batch
+iterator in a background thread with a bounded queue so host-side batch
+assembly overlaps the accelerator step — the role of the reference's 8
+DataLoader worker processes (mimicry_data_module.py:101-108), without
+processes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+
+class NativeGather:
+    _lib = None
+    _tried = False
+
+    @classmethod
+    def available(cls) -> bool:
+        if not cls._tried:
+            cls._tried = True
+            try:
+                from lets_face_it_tpu.utils.native import load_library
+
+                lib = load_library("window_loader")
+                lib.gather_windows.argtypes = [
+                    ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                    ctypes.c_int64, ctypes.POINTER(ctypes.c_float)]
+                cls._lib = lib
+            except Exception:
+                cls._lib = None
+        return cls._lib is not None
+
+    @classmethod
+    def gather(cls, src: np.ndarray, starts: np.ndarray, seq_len: int,
+               out: np.ndarray | None = None) -> np.ndarray:
+        """src [T, D] float32, starts [B] -> [B, seq_len, D]."""
+        n, d = len(starts), src.shape[1]
+        if out is None:
+            out = np.empty((n, seq_len, d), np.float32)
+        if cls.available() and src.dtype == np.float32 and src.flags["C_CONTIGUOUS"]:
+            starts64 = np.ascontiguousarray(starts, np.int64)
+            cls._lib.gather_windows(
+                src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), d,
+                starts64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                n, seq_len,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            return out
+        idx = starts[:, None] + np.arange(seq_len)[None, :]
+        out[:] = src[idx]
+        return out
+
+
+def prefetch_batches(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Run ``iterator`` in a daemon thread; yield from a bounded queue."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+    err: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as exc:  # propagate into the consumer
+            err.append(exc)
+        finally:
+            q.put(_END)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            if err:
+                raise err[0]
+            return
+        yield item

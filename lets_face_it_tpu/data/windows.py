@@ -102,8 +102,11 @@ class WindowDataset:
         return tuple(self.arrays.keys())
 
     def get_batch(self, indices: np.ndarray) -> dict[str, np.ndarray]:
-        idx = self.window_starts[indices][:, None] + np.arange(self.seq_len)[None, :]
-        return {name: arr[idx] for name, arr in self.arrays.items()}
+        from lets_face_it_tpu.data.prefetch import NativeGather
+
+        starts = self.window_starts[indices]
+        return {name: NativeGather.gather(arr, starts, self.seq_len)
+                for name, arr in self.arrays.items()}
 
     def epoch_batches(self, batch_size: int, *, rng: np.random.Generator | None = None,
                       shuffle: bool = True, drop_last: bool = False,

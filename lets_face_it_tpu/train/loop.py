@@ -174,9 +174,12 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
     t_start = time.time()
     done = False
 
+    from lets_face_it_tpu.data.prefetch import prefetch_batches
+
     for epoch in range(start_epoch, max_epochs):
-        for batch in train_ds.epoch_batches(hp.batch_size, rng=np_rng,
-                                            shuffle=True, drop_last=True):
+        for batch in prefetch_batches(
+                train_ds.epoch_batches(hp.batch_size, rng=np_rng,
+                                       shuffle=True, drop_last=True)):
             if not actnorm_inited:
                 state = train_state.run_actnorm_init(spec, state, batch)
                 if mesh is not None:
