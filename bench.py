@@ -91,11 +91,29 @@ def bench_training(hp, spec, params, batch_size: int = 256, iters: int = 5):
     return 1.0 / dt, dt
 
 
+def nll_parity_check(hp, spec, params):
+    """Relative NLL error vs the independent float64 torch implementation."""
+    try:
+        from lets_face_it_tpu.model import seqglow
+        from lets_face_it_tpu.sample import export_state_dict
+        from lets_face_it_tpu.sample.torch_ref import torch_sequence_nll
+
+        batch = _example_batch(hp, 2, hp.Train["seq_len"], seed=7)
+        _, loss_jax, _ = seqglow.sequence_nll(spec, params, batch)
+        loss_torch = torch_sequence_nll(export_state_dict(params, spec), hp,
+                                        batch)
+        return abs(float(loss_jax) - loss_torch) / max(abs(loss_torch), 1e-9)
+    except Exception as exc:  # torch may be absent in some images
+        print(f"nll parity check skipped: {exc}", file=sys.stderr)
+        return None
+
+
 def main():
     hp, spec, params = build_full_model()
     dev = jax.devices()[0]
     print(f"benchmarking on {dev.device_kind} ({dev.platform})", file=sys.stderr)
 
+    parity = nll_parity_check(hp, spec, params)
     fps_b1, _ = bench_sampling(hp, spec, params, batch_size=1)
     fps_batch, _ = bench_sampling(hp, spec, params, batch_size=128)
     train_sps, train_dt = bench_training(hp, spec, params)
@@ -113,6 +131,8 @@ def main():
         "train_steps_per_sec_b256_T80": round(train_sps, 3),
         "train_steps_per_sec_b256_T80_bf16matmul": round(train_sps_fast, 3),
         "train_windows_per_sec": round(train_sps * 256, 1),
+        "nll_parity_rel_err_vs_torch_f64": (round(parity, 8)
+                                            if parity is not None else None),
         "device": f"{dev.device_kind}",
     }
     print(json.dumps(result))
