@@ -181,6 +181,47 @@ def fit_batch(model: FlameModel, emb: LandmarkEmbedding, targets,
                            stage1_steps, stage2_steps)
 
 
+def fit_to_vertices(model: FlameModel, target_vertices, *, n_steps: int = 80,
+                    weights: dict | None = None):
+    """Fit FLAME params to target meshes (all frames batched): the role of the
+    reference's VOCA ``MeshFitter`` (voca.py:27-123) and of the missing
+    ``feature_extraction.mesh_utils.get_flame_parameters_for_objs`` used by
+    the segment tooling (get_data_segments.py:28-36) — converting e.g. VOCA
+    lipsync vertex sequences into FLAME parameter sequences.
+
+    target_vertices: [N, V, 3]. Returns (params dict of [N, ...], losses [N]).
+    """
+    from lets_face_it_tpu.render.flame import flame_vertices
+
+    w = {"expr": 1e-4, "jaw": 1e-4, "neck": 1e-3, "shape": 1e-4}
+    if weights:
+        w.update(weights)
+    targets = jnp.asarray(target_vertices, jnp.float32)
+    n = targets.shape[0]
+    n_expr = model.shapedirs.shape[-1] - 300
+
+    def fit_one(target):
+        params = {
+            "shape": jnp.zeros(300), "exp": jnp.zeros(n_expr),
+            "jaw": jnp.zeros(3), "neck": jnp.zeros(3), "trans": jnp.zeros(3),
+        }
+
+        def loss_fn(p):
+            verts = flame_vertices(
+                model, p["shape"][None], p["exp"][None], p["jaw"][None],
+                p["neck"][None])[0] + p["trans"]
+            data = jnp.mean(jnp.sum((verts - target) ** 2, axis=-1))
+            reg = (w["expr"] * jnp.sum(p["exp"] ** 2)
+                   + w["jaw"] * jnp.sum(p["jaw"] ** 2)
+                   + w["neck"] * jnp.sum(p["neck"] ** 2)
+                   + w["shape"] * jnp.sum(p["shape"] ** 2))
+            return data + reg
+
+        return _lbfgs_solve(loss_fn, params, n_steps)
+
+    return jax.vmap(fit_one)(targets)
+
+
 def openface_targets(csv_rows) -> np.ndarray:
     """OpenFace rows -> [N, 51, 2] targets: cols 299:435 reshaped (2, 68),
     transposed, jaw contour (first 17) dropped, y flipped to 1024 - y

@@ -225,6 +225,54 @@ def _rigid(R, t):
     return jnp.concatenate([top, bottom], axis=-2)
 
 
+def neutral_mesh_vertices(model: FlameModel, shape=None):
+    """Neutral (zero-pose, zero-expression) head vertices [V, 3] — the role
+    of the reference's extract_neutral_mesh (ringnet.py:161-176), which ran
+    chumpy FLAME over the average RingNet shape."""
+    if shape is None:
+        shape = jnp.zeros((1, 300), model.v_template.dtype)
+    zero = jnp.zeros((1, 3), model.v_template.dtype)
+    return flame_vertices(model, shape, jnp.zeros((1, 50)), zero, zero)[0]
+
+
+def write_ply(path, vertices, faces):
+    """Minimal ASCII PLY writer (replaces the psbody.mesh dependency)."""
+    vertices = np.asarray(vertices)
+    faces = np.asarray(faces)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(vertices)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write(f"element face {len(faces)}\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        for v in vertices:
+            f.write(f"{v[0]} {v[1]} {v[2]}\n")
+        for tri in faces:
+            f.write(f"3 {tri[0]} {tri[1]} {tri[2]}\n")
+    return path
+
+
+def read_ply(path):
+    """Minimal ASCII PLY reader -> (vertices [V,3] f32, faces [F,3] i32)."""
+    vertices, faces = [], []
+    with open(path) as f:
+        n_v = n_f = 0
+        for line in f:
+            line = line.strip()
+            if line.startswith("element vertex"):
+                n_v = int(line.split()[-1])
+            elif line.startswith("element face"):
+                n_f = int(line.split()[-1])
+            elif line == "end_header":
+                break
+        for _ in range(n_v):
+            vertices.append([float(x) for x in next(f).split()[:3]])
+        for _ in range(n_f):
+            parts = next(f).split()
+            faces.append([int(x) for x in parts[1:1 + int(parts[0])]])
+    return (np.asarray(vertices, np.float32), np.asarray(faces, np.int32))
+
+
 def get_vertices(model: FlameModel, expression, pose, rotation, eyes=None,
                  shape=None, *, rng=None):
     """The reference's render-path contract (render_tools.py:174-208):

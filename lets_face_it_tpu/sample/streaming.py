@@ -1,0 +1,133 @@
+"""Streaming duplex generation (BASELINE config 5): a stateful stepper that
+emits one generated face frame per call, for live-avatar serving.
+
+Unlike offline ``sequence_sample`` (which precomputes all conditioning before
+one scan), the streaming stepper consumes the conversation as it happens: the
+caller pushes the latest interlocutor-face/speech frames, and the stepper
+maintains the rolling history windows, the own-face ring buffer, and the K
+coupling-GRU states on device. The per-frame step is one jit-compiled call
+(the fused Pallas kernel on TPU), so a live session costs one dispatch per
+25-fps frame.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from lets_face_it_tpu.model import FlowSpec, SeqGlowParams, encoders, flow
+
+
+class StreamingGenerator:
+    """Holds rolling device state for one (batched) live dyadic session."""
+
+    def __init__(self, spec: FlowSpec, params: SeqGlowParams, *,
+                 batch_size: int = 1, eps_std: float = 1.0, seed: int = 0,
+                 use_fused: bool | None = None):
+        self.spec = spec
+        self.params = params
+        self.eps_std = float(eps_std)
+        b = batch_size
+        c = spec.channels
+        cond = spec.cond
+
+        if use_fused is None:
+            from lets_face_it_tpu.ops import pallas_flow
+
+            use_fused = (pallas_flow.pallas_supported(spec)
+                         and jax.default_backend() == "tpu")
+        self._fused_weights = None
+        if use_fused:
+            from lets_face_it_tpu.ops import pallas_flow
+
+            self._fused_weights = jax.jit(
+                lambda p: pallas_flow.prepare_sampling_weights(spec, p)
+            )(params.flow)
+
+        # rolling windows per modality (zeros until warmed up)
+        def zeros(h, d):
+            return jnp.zeros((b, h, d), jnp.float32)
+
+        self.face_hist = zeros(max(cond.p1_face.history, 1), c)
+        self.windows = {}
+        for name, dim in (("p2_face", c),
+                          ("p1_speech", getattr(cond.p1_speech, "input_dim", 0)
+                           if cond.p1_speech else 0),
+                          ("p2_speech", getattr(cond.p2_speech, "input_dim", 0)
+                           if cond.p2_speech else 0)):
+            espec = getattr(cond, name)
+            if espec is not None:
+                self.windows[name] = zeros(espec.history, espec.input_dim)
+        self.states = flow.init_flow_states(spec, b)
+        self.rng = jax.random.PRNGKey(seed)
+        self._step = self._build_step()
+
+    def _build_step(self):
+        spec = self.spec
+        params = self.params
+        fused_weights = self._fused_weights
+
+        @jax.jit
+        def step(face_hist, windows, states, rng, inputs, eps_std):
+            # roll the modality windows with the incoming frames (the current
+            # interlocutor frame IS visible — (t-h, t] semantics)
+            new_windows = {}
+            for name, win in windows.items():
+                new_windows[name] = jnp.concatenate(
+                    [win[:, 1:], inputs[name][:, None]], axis=1)
+
+            parts = []
+            if spec.cond.p1_face.out_dim > 0:
+                parts.append(encoders.encode_p1_face_single(
+                    spec.cond, params.encoder, face_hist))
+            for name in ("p2_face", "p1_speech", "p2_speech"):
+                espec = getattr(spec.cond, name)
+                if espec is not None:
+                    parts.append(encoders.encode_windows(
+                        espec, params.encoder[name],
+                        new_windows[name][:, None])[:, 0])
+            cond_t = jnp.concatenate(parts, axis=-1)
+
+            rng, sub = jax.random.split(rng)
+            z = jax.random.normal(sub, face_hist[:, 0].shape) * eps_std
+            if fused_weights is not None:
+                from lets_face_it_tpu.ops import pallas_flow
+
+                proj = flow._project_cond(params.flow, cond_t)
+                x_t, states = pallas_flow.frame_rev_fused(
+                    spec, fused_weights, z, proj, states)
+            else:
+                x_t, _, states = flow.frame_rev(spec, params.flow, z, cond_t,
+                                                states)
+            face_hist = jnp.concatenate([face_hist[:, 1:], x_t[:, None]],
+                                        axis=1)
+            return face_hist, new_windows, states, rng, x_t
+
+        return step
+
+    def push(self, p2_face=None, p1_speech=None, p2_speech=None):
+        """Feed the current conversation frame; returns the generated agent
+        face frame [B, C]."""
+        inputs = {}
+        for name, val in (("p2_face", p2_face), ("p1_speech", p1_speech),
+                          ("p2_speech", p2_speech)):
+            if name in self.windows:
+                assert val is not None, f"{name} is conditioned on; provide it"
+                inputs[name] = jnp.asarray(val, jnp.float32)
+        (self.face_hist, self.windows, self.states, self.rng,
+         x_t) = self._step(self.face_hist, self.windows, self.states,
+                           self.rng, inputs, self.eps_std)
+        return x_t
+
+    def reset(self, seed_faces=None):
+        """Start a new sequence: zero (or seed) the own-face history and reset
+        the coupling-RNN states (the reference resets states at every sequence
+        start, models.py:535)."""
+        b = self.face_hist.shape[0]
+        if seed_faces is not None:
+            self.face_hist = jnp.asarray(seed_faces, jnp.float32)
+        else:
+            self.face_hist = jnp.zeros_like(self.face_hist)
+        self.states = flow.init_flow_states(self.spec, b)

@@ -116,3 +116,41 @@ def test_fit_session_participant(tmp_path):
         assert f["tf_exp"].shape == (n, 100)
         assert f["tf_rot"].shape == (n, 3)
         assert np.isfinite(f["tf_rot"][()]).all()
+
+
+def test_fit_to_vertices_recovers_expression():
+    """Vertex-target fitting (the VOCA mesh-fitter role)."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    n = 2
+    true_exp = np.zeros((n, 100), np.float32)
+    true_exp[:, :5] = rng.uniform(-1.5, 1.5, (n, 5))
+    true_jaw = rng.uniform(-0.2, 0.2, (n, 3)).astype(np.float32)
+    targets = flame.flame_vertices(
+        MODEL, jnp.zeros((n, 300)), jnp.asarray(true_exp),
+        jnp.asarray(true_jaw), jnp.zeros((n, 3)))
+
+    params, losses = flame_fit.fit_to_vertices(MODEL, targets, n_steps=100)
+    # the regularizers put a floor under the loss for nonzero true params
+    assert np.asarray(losses).max() < 1e-3, np.asarray(losses)
+    # reconstructed meshes match the targets
+    recon = flame.flame_vertices(
+        MODEL, params["shape"], params["exp"], params["jaw"], params["neck"])
+    recon = recon + params["trans"][:, None]
+    err = np.abs(np.asarray(recon) - np.asarray(targets)).max()
+    assert err <5e-3, err
+
+
+def test_neutral_mesh_and_ply_roundtrip(tmp_path):
+    from lets_face_it_tpu.render.flame import (
+        neutral_mesh_vertices, read_ply, write_ply)
+
+    verts = neutral_mesh_vertices(MODEL)
+    assert verts.shape == (160, 3)
+    np.testing.assert_allclose(np.asarray(verts),
+                               np.asarray(MODEL.v_template), atol=1e-5)
+    path = write_ply(tmp_path / "neutral.ply", verts, MODEL.faces)
+    v2, f2 = read_ply(path)
+    np.testing.assert_allclose(v2, np.asarray(verts), atol=1e-4)
+    np.testing.assert_array_equal(f2, MODEL.faces)

@@ -1,0 +1,71 @@
+"""Streaming generator: per-call stepping must reproduce the offline scan."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lets_face_it_tpu.model import FlowSpec, init_seqglow, seqglow
+from lets_face_it_tpu.sample.streaming import StreamingGenerator
+
+from conftest import tiny_hparams
+
+
+def test_streaming_matches_offline_mean_path():
+    """With eps=0 (mean path) and zero warm-up, pushing frames one by one
+    must equal the offline sequence_sample on the same data."""
+    hp = tiny_hparams()
+    spec = FlowSpec.build(hp)
+    params = init_seqglow(jax.random.PRNGKey(0), spec)
+
+    b, t = 2, 16
+    start = spec.cond.longest_history
+    rng = np.random.default_rng(0)
+    c, s = spec.channels, hp.Data["speech_dim"]
+    data = {
+        "p1_face": np.zeros((b, t, c), np.float32),
+        "p2_face": rng.standard_normal((b, t, c)).astype(np.float32),
+        "p1_speech": rng.standard_normal((b, t, s)).astype(np.float32),
+        "p2_speech": rng.standard_normal((b, t, s)).astype(np.float32),
+    }
+    # offline: windows for frames < start see zeros -> zero out the prefix
+    for k in ("p2_face", "p1_speech", "p2_speech"):
+        data[k][:, :start] = 0.0
+
+    offline = seqglow.sequence_sample(
+        spec, params, {k: jnp.asarray(v) for k, v in data.items()},
+        t, eps_std=0.0, rng=jax.random.PRNGKey(1))
+
+    gen = StreamingGenerator(spec, params, batch_size=b, eps_std=0.0,
+                             use_fused=False)
+    outs = []
+    for ts in range(start, t):
+        outs.append(np.asarray(gen.push(
+            p2_face=data["p2_face"][:, ts],
+            p1_speech=data["p1_speech"][:, ts],
+            p2_speech=data["p2_speech"][:, ts])))
+    streaming = np.stack(outs, axis=1)
+
+    np.testing.assert_allclose(streaming, np.asarray(offline), atol=1e-4)
+
+
+def test_streaming_reset():
+    hp = tiny_hparams()
+    spec = FlowSpec.build(hp)
+    params = init_seqglow(jax.random.PRNGKey(0), spec)
+    gen = StreamingGenerator(spec, params, batch_size=1, eps_std=0.0,
+                             use_fused=False)
+    rng = np.random.default_rng(1)
+    c, s = spec.channels, hp.Data["speech_dim"]
+
+    def push():
+        return np.asarray(gen.push(
+            p2_face=rng.standard_normal((1, c)).astype(np.float32),
+            p1_speech=rng.standard_normal((1, s)).astype(np.float32),
+            p2_speech=rng.standard_normal((1, s)).astype(np.float32)))
+
+    first = push()
+    push()
+    gen.reset()
+    # state cleared: the face history is zeroed again
+    assert float(np.abs(np.asarray(gen.face_hist)).max()) == 0.0
+    assert np.isfinite(first).all()
