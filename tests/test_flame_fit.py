@@ -131,9 +131,10 @@ def test_fit_to_vertices_recovers_expression():
         MODEL, jnp.zeros((n, 300)), jnp.asarray(true_exp),
         jnp.asarray(true_jaw), jnp.zeros((n, 3)))
 
-    params, losses = flame_fit.fit_to_vertices(MODEL, targets, n_steps=100)
-    # the regularizers put a floor under the loss for nonzero true params
-    assert np.asarray(losses).max() < 1e-3, np.asarray(losses)
+    weights = {"expr": 1e-7, "jaw": 1e-7, "neck": 1e-7, "shape": 1e-7}
+    params, losses = flame_fit.fit_to_vertices(MODEL, targets, n_steps=150,
+                                               weights=weights)
+    assert np.asarray(losses).max() < 1e-4, np.asarray(losses)
     # reconstructed meshes match the targets
     recon = flame.flame_vertices(
         MODEL, params["shape"], params["exp"], params["jaw"], params["neck"])
