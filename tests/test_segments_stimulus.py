@@ -125,3 +125,18 @@ def test_stimulus_generate_videos(tmp_path):
     meta = json.loads((tmp_path / "meta" / "stim.txt").read_text())
     assert set(meta) >= {"left_start", "right_start", "left_gender",
                          "left_shape", "left_skin_color"}
+
+
+def test_build_study_sets(data_files):
+    from lets_face_it_tpu.data_segments.study_sets import build_study_sets
+
+    sets = build_study_sets(data_files / "train_val_test.json",
+                            data_files / "annotations.json",
+                            min_duration_ms=500)
+    assert len(sets["mimicry_gt"]) >= 2
+    assert len(sets["mimicry_random_alignment"]) == len(sets["mimicry_gt"])
+    # random alignment shifts the partner interval
+    for gt, ra in zip(sets["mimicry_gt"], sets["mimicry_random_alignment"]):
+        assert ra[4] != gt[4]
+        assert ra[1] == gt[1] and ra[2] == gt[2]
+    assert all(e[0].startswith("non_mimicry") for e in sets["non_mimicry_gt"])
