@@ -16,7 +16,7 @@ and ``annotations.json``):
 from __future__ import annotations
 
 import json
-from collections import Counter, defaultdict
+from collections import Counter
 from pathlib import Path
 
 import numpy as np

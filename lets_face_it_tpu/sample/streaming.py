@@ -12,8 +12,6 @@ coupling-GRU states on device. The per-frame step is one jit-compiled call
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -5,8 +5,6 @@ re-run data-dependent init — reference models.py:515-518)."""
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any
-
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
