@@ -210,3 +210,14 @@ def sequence_invert(spec: FlowSpec, params: SeqGlowParams, z_seq, data):
 
     _, (xs, losses) = jax.lax.scan(step, states0, (z_seq, cond_projs))
     return jnp.moveaxis(xs, 0, 1), jnp.mean(losses)
+
+
+# jitted entry points for the evaluation/validation paths (training builds its
+# own jitted step; calling these un-jitted executes op-by-op — catastrophic
+# over a remote-device transport and wasteful everywhere)
+sequence_nll_jit = jax.jit(
+    sequence_nll, static_argnames=("spec", "training", "collect_scales"))
+sequence_sample_jit = jax.jit(
+    sequence_sample,
+    static_argnames=("spec", "seq_len", "eps_std", "use_fused"))
+sequence_invert_jit = jax.jit(sequence_invert, static_argnames=("spec",))

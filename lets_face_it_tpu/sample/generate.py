@@ -145,8 +145,8 @@ class Generator:
             "p2_speech": jnp.asarray(data["p2_speech"][None]),
         }
         seq_len = frames.shape[0]
-        out = seqglow.sequence_sample(
-            self.spec, self.params, cond_data, seq_len, eps_std=eps,
+        out = seqglow.sequence_sample_jit(
+            self.spec, self.params, cond_data, seq_len, eps_std=float(eps),
             rng=jax.random.PRNGKey(seed))
         destd = np.asarray(out) * self.face_stds + self.face_means
         return expand_face_dim(destd, self.hp.Data)

@@ -42,14 +42,14 @@ def evaluate_batch(spec: FlowSpec, params: SeqGlowParams, hp: HParams, batch,
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
     out = {}
-    _, loss, losses = seqglow.sequence_nll(spec, params, batch)
+    _, loss, losses = seqglow.sequence_nll_jit(spec, params, batch)
     out["test_loss"] = np.asarray(loss)
     out["test_losses"] = np.asarray(losses)
 
     rng, k_gen = jax.random.split(rng)
-    predicted = seqglow.sequence_sample(
+    predicted = seqglow.sequence_sample_jit(
         spec, params, _zero_seed(batch, start), seq_len,
-        eps_std=hp.Infer["eps"], rng=k_gen)
+        eps_std=float(hp.Infer["eps"]), rng=k_gen)
     out["predicted_prop_seq"] = np.asarray(predicted)
     out["gt_seq"] = np.asarray(batch["p1_face"][:, -predicted.shape[1]:])
 
@@ -58,12 +58,12 @@ def evaluate_batch(spec: FlowSpec, params: SeqGlowParams, hp: HParams, batch,
             continue
         rng, k_der, k_gen = jax.random.split(rng, 3)
         deranged = derange.derange_batch(k_der, batch, [modality])
-        _, mis_loss, mis_losses = seqglow.sequence_nll(spec, params, deranged)
+        _, mis_loss, mis_losses = seqglow.sequence_nll_jit(spec, params, deranged)
         out[f"nll_mismatched_{modality}"] = np.asarray(mis_loss)
         out[f"losses_mismatched_{modality}"] = np.asarray(mis_losses)
-        mis_pred = seqglow.sequence_sample(
+        mis_pred = seqglow.sequence_sample_jit(
             spec, params, _zero_seed(deranged, start), seq_len,
-            eps_std=hp.Infer["eps"], rng=k_gen)
+            eps_std=float(hp.Infer["eps"]), rng=k_gen)
         out[f"predicted_mismatch_{modality}_seq"] = np.asarray(mis_pred)
     return out
 

@@ -95,8 +95,9 @@ def run_validation(spec: FlowSpec, hp: HParams, params, val_ds: WindowDataset,
 
         if val_cfg.get("inference", False):
             rng, sub = jax.random.split(rng)
-            generated = seqglow.sequence_sample(
-                spec, params, jb, seq_len, eps_std=hp.Infer["eps"], rng=sub)
+            generated = seqglow.sequence_sample_jit(
+                spec, params, jb, seq_len, eps_std=float(hp.Infer["eps"]),
+                rng=sub)
             gt = jb["p1_face"][:, start:seq_len]
             out.update({k: float(v) for k, v in
                         train_metrics.jerk_metrics(gt, generated).items()})

@@ -30,7 +30,7 @@ def jerk_metrics(gt_seq, generated_seq):
 def invertibility_error(spec, params, batch, z_seq, loss):
     """Percentage disagreement between forward NLL and backward decode NLL
     (mimicry_logger.py:241-251)."""
-    _, backward_loss = seqglow.sequence_invert(spec, params, z_seq, batch)
+    _, backward_loss = seqglow.sequence_invert_jit(spec, params, z_seq, batch)
     return jnp.abs((backward_loss + loss) / loss) * 100.0
 
 
@@ -47,7 +47,7 @@ def wrong_context_probes(spec, params, batch, base_loss, mismatch_cfg, rng):
             rng, sub = jax.random.split(rng)
             deranged = derange.derange_batch(sub, batch, modalities,
                                              shuffle_time=shuffle_time)
-            _, mismatched_loss, _ = seqglow.sequence_nll(spec, params, deranged)
+            _, mismatched_loss, _ = seqglow.sequence_nll_jit(spec, params, deranged)
             kind = "shuffled_time" if shuffle_time else "shuffled_batch"
             out[f"mismatched_nll/{kind}/{group_name}"] = base_loss - mismatched_loss
     return out

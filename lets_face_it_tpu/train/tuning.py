@@ -88,9 +88,9 @@ def _pruning_hooks():
         batch = next(val_ds.epoch_batches(min(hp.batch_size, 16),
                                           shuffle=False))
         data = {k: jnp.asarray(v) for k, v in batch.items()}
-        gen = seqglow.sequence_sample(
+        gen = seqglow.sequence_sample_jit(
             spec, params, data, hp.Validation["seq_len"],
-            eps_std=hp.Infer["eps"], rng=jax.random.PRNGKey(step))
+            eps_std=float(hp.Infer["eps"]), rng=jax.random.PRNGKey(step))
         jerk = float(calc_jerk(gen))
         if jerk > 10 and step > 20:
             raise TrialPruned(f"generated jerk {jerk:.2f} > 10")
