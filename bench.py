@@ -119,6 +119,8 @@ def main():
     train_sps, train_dt = bench_training(hp, spec, params)
     with jax.default_matmul_precision("default"):
         train_sps_fast, _ = bench_training(hp, spec, params)
+        fps_b1_fast, _ = bench_sampling(hp, spec, params, batch_size=1)
+        fps_batch_fast, _ = bench_sampling(hp, spec, params, batch_size=128)
 
     target = REALTIME_FPS * TARGET_REALTIME_FACTOR
     result = {
@@ -130,6 +132,8 @@ def main():
         "realtime_factor_batch1": round(fps_b1 / REALTIME_FPS, 2),
         "train_steps_per_sec_b256_T80": round(train_sps, 3),
         "train_steps_per_sec_b256_T80_bf16matmul": round(train_sps_fast, 3),
+        "sampling_fps_batch1_bf16matmul": round(fps_b1_fast, 1),
+        "sampling_fps_batched_bf16matmul": round(fps_batch_fast, 1),
         "train_windows_per_sec": round(train_sps * 256, 1),
         "nll_parity_rel_err_vs_torch_f64": (round(parity, 8)
                                             if parity is not None else None),
