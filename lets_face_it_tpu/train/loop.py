@@ -35,6 +35,7 @@ class MetricLogger:
     def __init__(self, log_dir, enabled: bool = True):
         self.enabled = enabled
         self.writer = None
+        self.comet = None
         if enabled:
             try:
                 from tensorboardX import SummaryWriter
@@ -43,12 +44,28 @@ class MetricLogger:
                 self.writer = SummaryWriter(str(log_dir))
             except Exception:
                 self.writer = None
+            # Comet when an API key is configured (reference train.py:25-31)
+            try:
+                from lets_face_it_tpu.config import CONFIG
+
+                api_key = CONFIG.get("comet", {}).get("api_key")
+                if api_key:
+                    import comet_ml
+
+                    self.comet = comet_ml.Experiment(
+                        api_key=api_key,
+                        project_name=CONFIG["comet"].get("project_name",
+                                                         "lets_face_it"))
+            except Exception:
+                self.comet = None
 
     def scalars(self, step: int, values: dict):
         clean = {k: float(v) for k, v in values.items()}
         if self.writer is not None:
             for k, v in clean.items():
                 self.writer.add_scalar(k, v, step)
+        if self.comet is not None:
+            self.comet.log_metrics(clean, step=step)
         print(json.dumps({"step": step, **clean}), file=sys.stdout, flush=True)
 
     def histogram(self, step: int, name: str, values):

@@ -38,6 +38,12 @@ def main():
     parser.add_argument("--render_url", default=None,
                         help="render-service URL for validation videos "
                              "(e.g. http://localhost:8000)")
+    parser.add_argument("--profile_dir", default=None,
+                        help="capture a jax.profiler trace of the first "
+                             "training steps into this directory")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="enable jax_debug_nans (the reference's "
+                             "terminate_on_nan/print_nan_grads role)")
     args = parser.parse_args()
 
     if args.cpu:
@@ -63,6 +69,8 @@ def main():
     # bf16-multiply/f32-accumulate matmuls (~2x train throughput)
     if int(getattr(hp, "precision", 32) or 32) >= 32:
         jax.config.update("jax_default_matmul_precision", "highest")
+    if args.debug_nans or getattr(hp, "terminate_on_nan", False):
+        jax.config.update("jax_debug_nans", True)
 
     if args.synthetic_data:
         from lets_face_it_tpu.data.synthetic import write_synthetic_dataset
@@ -87,9 +95,16 @@ def main():
 
     from lets_face_it_tpu.train.loop import train
 
-    state, best_val = train(hp, seed=args.seed, log_dir=log_dir,
-                            ckpt_dir=ckpt_dir, max_steps=args.max_steps,
-                            render_client=render_client)
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+    try:
+        state, best_val = train(hp, seed=args.seed, log_dir=log_dir,
+                                ckpt_dir=ckpt_dir, max_steps=args.max_steps,
+                                render_client=render_client)
+    finally:
+        if args.profile_dir:
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {args.profile_dir}")
     print(f"training done; best val_loss = {best_val:.4f}")
 
 
