@@ -1,0 +1,223 @@
+"""Independent Praat-style pitch/intensity reference, for golden files.
+
+This is a from-the-paper NumPy implementation of the algorithms behind
+Praat's ``Sound: To Pitch (ac)`` (Boersma 1993, "Accurate short-term
+analysis of the fundamental frequency...") and ``Sound: To Intensity``.
+It deliberately shares no code with the production JAX implementation in
+``lets_face_it_tpu/features/prosody.py`` — different frame layout (Praat's
+centered frames), different peak refinement (sinc upsampling instead of
+parabolic), plain-Python Viterbi — so agreement between the two is evidence
+of correctness rather than of shared bugs.
+
+``tools/make_prosody_golden.py`` prefers real parselmouth/Praat when it is
+importable and falls back to this module (recording the provenance in the
+golden file). The environment this repo is developed in has no Praat, so the
+checked-in golden is produced by this module.
+
+Reference semantics being validated: compute_prosody / extract_prosodic
+_features in /root/reference/code/feature_extraction/audio_utils.py:20-99.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Praat "To Pitch (ac)" defaults
+PITCH_FLOOR = 75.0
+PITCH_CEILING = 600.0
+VOICING_THRESHOLD = 0.45
+SILENCE_THRESHOLD = 0.03
+OCTAVE_COST = 0.01
+OCTAVE_JUMP_COST = 0.35
+VOICED_UNVOICED_COST = 0.14
+MAX_CANDIDATES = 15
+
+_SINC_UPSAMPLE = 16  # lag-domain upsampling factor for peak refinement
+
+
+def _praat_frames(n_samples: int, fs: float, window_dur: float,
+                  time_step: float):
+    """Praat's centered frame layout: as many frames of ``window_dur`` as fit,
+    the whole comb of frames centered in the sound."""
+    duration = n_samples / fs
+    n_frames = int(np.floor((duration - window_dur) / time_step)) + 1
+    if n_frames < 1:
+        raise ValueError("sound shorter than one analysis window")
+    t_mid_first = 0.5 * (duration - (n_frames - 1) * time_step)
+    centers = t_mid_first + np.arange(n_frames) * time_step
+    return centers, n_frames
+
+
+def _sinc_refine(r: np.ndarray, lag: int, half_width: int = 8):
+    """Refine a local autocorrelation maximum by band-limited (sinc)
+    interpolation on a fine lag grid around ``lag``."""
+    lo = max(lag - half_width, 1)
+    hi = min(lag + half_width, len(r) - 1)
+    support = np.arange(lo, hi + 1)
+    fine = np.linspace(lag - 1.0, lag + 1.0, 2 * _SINC_UPSAMPLE + 1)
+    weights = np.sinc(fine[:, None] - support[None, :])
+    vals = weights @ r[support]
+    k = int(np.argmax(vals))
+    return fine[k], vals[k]
+
+
+def pitch_track(x: np.ndarray, fs: float, time_step: float = 0.05,
+                floor: float = PITCH_FLOOR, ceiling: float = PITCH_CEILING,
+                voicing_threshold: float = VOICING_THRESHOLD,
+                silence_threshold: float = SILENCE_THRESHOLD):
+    """Boersma (1993) AC-method pitch with Viterbi path smoothing.
+
+    Returns (frame_center_times [N], f0_hz [N]) with 0 for unvoiced frames.
+    """
+    x = np.asarray(x, np.float64)
+    window_dur = 3.0 / floor
+    frame_len = int(round(window_dur * fs))
+    centers, n_frames = _praat_frames(len(x), fs, window_dur, time_step)
+    global_peak = np.max(np.abs(x - np.mean(x))) + 1e-300
+
+    window = np.hanning(frame_len)
+    r_window = np.correlate(window, window, mode="full")[frame_len - 1:]
+    r_window /= r_window[0]
+
+    min_lag = int(np.floor(fs / ceiling))
+    max_lag = int(np.ceil(fs / floor))
+
+    cand_freq = np.zeros((n_frames, MAX_CANDIDATES))
+    cand_strength = np.full((n_frames, MAX_CANDIDATES), -1e30)
+
+    for i, t_mid in enumerate(centers):
+        start = int(round(t_mid * fs - frame_len / 2))
+        start = min(max(start, 0), len(x) - frame_len)
+        frame = x[start:start + frame_len].copy()
+        frame -= frame.mean()
+        local_peak = np.max(np.abs(frame))
+
+        # Boersma eq. 23: strength of the unvoiced candidate
+        cand_freq[i, 0] = 0.0
+        cand_strength[i, 0] = voicing_threshold + max(
+            0.0,
+            2.0 - (local_peak / global_peak)
+            / (silence_threshold / (1.0 + voicing_threshold)))
+
+        windowed = frame * window
+        r = np.correlate(windowed, windowed, mode="full")[frame_len - 1:]
+        if r[0] <= 0:
+            continue
+        r = (r / r[0]) / np.maximum(r_window, 1e-12)
+
+        # integer-lag local maxima inside the admissible pitch range
+        seg = r[min_lag:max_lag + 1]
+        is_max = np.flatnonzero(
+            (seg[1:-1] > seg[:-2]) & (seg[1:-1] >= seg[2:])) + min_lag + 1
+
+        refined = []
+        for lag in is_max:
+            lag_f, r_f = _sinc_refine(r, int(lag))
+            if r_f <= 0 or lag_f <= 0:
+                continue
+            freq = fs / lag_f
+            if not (floor <= freq <= ceiling):
+                continue
+            strength = min(r_f, 1.0) - OCTAVE_COST * np.log2(ceiling / freq)
+            refined.append((strength, freq))
+        refined.sort(reverse=True)
+        for j, (strength, freq) in enumerate(refined[:MAX_CANDIDATES - 1]):
+            cand_freq[i, j + 1] = freq
+            cand_strength[i, j + 1] = strength
+
+    f0 = _viterbi(cand_freq, cand_strength)
+    return centers, f0
+
+
+def _viterbi(freq: np.ndarray, strength: np.ndarray) -> np.ndarray:
+    """Plain-Python Viterbi over pitch candidates with Praat's transition
+    costs (octave jump between voiced, flat voiced<->unvoiced switch)."""
+    n_frames, n_cand = freq.shape
+    delta = strength[0].copy()
+    psi = np.zeros((n_frames, n_cand), np.int64)
+    for t in range(1, n_frames):
+        new_delta = np.empty(n_cand)
+        for j in range(n_cand):
+            f2 = freq[t, j]
+            best, best_k = -np.inf, 0
+            for k in range(n_cand):
+                f1 = freq[t - 1, k]
+                if f1 > 0 and f2 > 0:
+                    cost = OCTAVE_JUMP_COST * abs(np.log2(f1 / f2))
+                elif (f1 > 0) != (f2 > 0):
+                    cost = VOICED_UNVOICED_COST
+                else:
+                    cost = 0.0
+                score = delta[k] - cost
+                if score > best:
+                    best, best_k = score, k
+            new_delta[j] = best + strength[t, j]
+            psi[t, j] = best_k
+        delta = new_delta
+
+    path = np.zeros(n_frames, np.int64)
+    path[-1] = int(np.argmax(delta))
+    for t in range(n_frames - 1, 0, -1):
+        path[t - 1] = psi[t, path[t]]
+    return freq[np.arange(n_frames), path]
+
+
+def intensity_track(x: np.ndarray, fs: float, time_step: float = 0.05,
+                    min_pitch: float = 100.0):
+    """Praat's ``Sound: To Intensity``: mean-subtracted squared pressure
+    under a Kaiser-20 window of physical duration 6.4/min_pitch (effective
+    duration 3.2/min_pitch), in dB re 2e-5 Pa.
+
+    Returns (frame_center_times [N], intensity_db [N]).
+    """
+    x = np.asarray(x, np.float64)
+    window_dur = 6.4 / min_pitch
+    frame_len = int(round(window_dur * fs))
+    centers, n_frames = _praat_frames(len(x), fs, window_dur, time_step)
+
+    # Kaiser-Bessel with beta = 2*pi^2 + 0.5 ("Kaiser-20": sidelobes < -190 dB)
+    window = np.kaiser(frame_len, 2.0 * np.pi * np.pi + 0.5)
+    wsum = window.sum()
+
+    out = np.empty(n_frames)
+    for i, t_mid in enumerate(centers):
+        start = int(round(t_mid * fs - frame_len / 2))
+        start = min(max(start, 0), len(x) - frame_len)
+        frame = x[start:start + frame_len]
+        frame = frame - frame.mean()
+        power = np.dot(frame * frame, window) / wsum
+        out[i] = 10.0 * np.log10(max(power, 1e-30) / 4e-10)
+    return centers, out
+
+
+def _sample_track(times: np.ndarray, values: np.ndarray,
+                  query: np.ndarray, voiced_aware: bool) -> np.ndarray:
+    """Praat ``get_value_at_time``-style sampling: linear interpolation,
+    NaN→0 outside/unvoiced (the reference then np.nan_to_num's it)."""
+    out = np.interp(query, times, values, left=np.nan, right=np.nan)
+    if voiced_aware:
+        # linear interpolation across a voiced/unvoiced boundary is
+        # meaningless — declare the query unvoiced if either neighbour is
+        idx = np.searchsorted(times, query).clip(1, len(times) - 1)
+        either_unvoiced = (values[idx - 1] <= 0) | (values[idx] <= 0)
+        out = np.where(either_unvoiced, 0.0, out)
+    return np.nan_to_num(out)
+
+
+def compute_prosody_golden(x: np.ndarray, fs: float, time_step: float = 0.05):
+    """The reference's compute_prosody (audio_utils.py:20-46) evaluated with
+    this module's Praat reimplementation: (pitch_norm, intensity_norm) at
+    times arange(0, duration - time_step, time_step), Chiu'11-normalized."""
+    duration = len(x) / fs
+    query = np.arange(0, duration - time_step, time_step)
+
+    pt, f0 = pitch_track(x, fs, time_step)
+    it, inten = intensity_track(x, fs, time_step)
+    pitch_values = _sample_track(pt, f0, query, voiced_aware=True)
+    intensity_values = _sample_track(it, inten, query, voiced_aware=False)
+
+    intensity_values = np.clip(intensity_values,
+                               np.finfo(intensity_values.dtype).eps, None)
+    pitch_norm = np.clip(np.log(pitch_values + 1) - 4, 0, None)
+    intensity_norm = np.clip(np.log(intensity_values) - 3, 0, None)
+    return pitch_norm, intensity_norm
