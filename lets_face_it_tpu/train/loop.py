@@ -42,8 +42,10 @@ class MetricLogger:
 
                 Path(log_dir).mkdir(parents=True, exist_ok=True)
                 self.writer = SummaryWriter(str(log_dir))
-            except Exception:
+            except Exception as exc:
                 self.writer = None
+                print(f"warning: TensorBoard logging disabled ({exc})",
+                      file=sys.stderr)
             # Comet when an API key is configured (reference train.py:25-31)
             try:
                 from lets_face_it_tpu.config import CONFIG
@@ -56,8 +58,10 @@ class MetricLogger:
                         api_key=api_key,
                         project_name=CONFIG["comet"].get("project_name",
                                                          "lets_face_it"))
-            except Exception:
+            except Exception as exc:
                 self.comet = None
+                print(f"warning: Comet logging disabled ({exc})",
+                      file=sys.stderr)
 
     def scalars(self, step: int, values: dict):
         clean = {k: float(v) for k, v in values.items()}
@@ -71,6 +75,17 @@ class MetricLogger:
     def histogram(self, step: int, name: str, values):
         if self.writer is not None:
             self.writer.add_histogram(name, np.asarray(values).ravel(), step)
+
+    def video_url(self, step: int, url: str, name: str = "validation_video"):
+        """Surface a rendered validation video in the experiment trackers
+        (the reference embeds it as HTML in Comet, mimicry_logger.py:102-112)."""
+        if self.writer is not None:
+            self.writer.add_text(name, url, step)
+        if self.comet is not None:
+            self.comet.log_html(
+                f"<h3>{name} (step {step})</h3>"
+                f'<video src="{url}" controls width="640">'
+                f'<a href="{url}">{url}</a></video>')
 
     def close(self):
         if self.writer is not None:
@@ -170,6 +185,9 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
 
     ckpt = CheckpointManager(ckpt_dir, max_to_keep=3) if ckpt_dir else None
     logger = MetricLogger(log_dir or "runs/default", enabled=bool(hp.logger))
+    if render_client is not None and getattr(render_client, "on_rendered",
+                                             None) is None:
+        render_client.on_rendered = logger.video_url
 
     train_step = train_state.make_train_step(spec, hp, optimizer)
     eval_step = train_state.make_eval_step(spec)

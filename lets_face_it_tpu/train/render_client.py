@@ -23,6 +23,10 @@ class RenderClient:
         self.url = url.rstrip("/")
         self.timeout = timeout
         self.hp = hp
+        #: optional (step, video_url) callback fired after a successful
+        #: render — the training loop wires this to MetricLogger.video_url so
+        #: the video is embedded in Comet/TensorBoard (mimicry_logger.py:102-112)
+        self.on_rendered = None
         self.face_means = None
         self.face_stds = None
         data_file = Path(hp.dataset_root) / hp.Data["file_name"]
@@ -76,6 +80,8 @@ class RenderClient:
                 with urllib.request.urlopen(req, timeout=self.timeout) as resp:
                     out = json.loads(resp.read())
                 print(f"render: {out.get('url')}", file=sys.stderr)
+                if self.on_rendered is not None and out.get("url"):
+                    self.on_rendered(step, out["url"])
             except Exception as exc:  # never kill training over a video
                 print(f"render request failed: {exc}", file=sys.stderr)
 

@@ -177,3 +177,37 @@ def test_render_server_roundtrip(tmp_path):
         assert len(data) > 500
     finally:
         server.shutdown()
+
+
+@pytest.mark.slow
+def test_render_client_embeds_video_url(tmp_path):
+    """RenderClient posts, then fires on_rendered(step, url) so the training
+    loop can embed the video in Comet/TensorBoard (mimicry_logger.py:102-112)."""
+    from conftest import tiny_hparams
+    from lets_face_it_tpu.train.render_client import RenderClient
+
+    service = RenderService(flame_model=flame.synthetic_flame_model(64),
+                            video_dir=tmp_path, width=96)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        hp = tiny_hparams()
+        hp.dataset_root = str(tmp_path / "nonexistent")  # no standardization
+        hp.Data["expression_dim"] = 50
+        client = RenderClient(f"http://127.0.0.1:{port}", hp, timeout=120)
+        seen = {}
+        fired = threading.Event()
+
+        def on_rendered(step, url):
+            seen["step"], seen["url"] = step, url
+            fired.set()
+
+        client.on_rendered = on_rendered
+        seq = np.zeros((2, 4, 56), np.float32)
+        client(seq, seq, step=7)
+        assert fired.wait(timeout=120), "on_rendered never fired"
+        assert seen["step"] == 7
+        assert "/video/" in seen["url"]
+    finally:
+        server.shutdown()
