@@ -91,6 +91,26 @@ def bench_training(hp, spec, params, batch_size: int = 256, iters: int = 5):
     return 1.0 / dt, dt
 
 
+def bench_batch_scaling(hp, spec, params, batch_sizes=(64, 128, 256, 512,
+                                                       1024)):
+    """Per-window training throughput vs batch size (VERDICT r1 item 5).
+
+    b1024 needs the threshold-gated encoder remat (model/encoders.py) — the
+    un-rematted backward requests 30.9 GiB of HBM on a 16 GiB v5e.
+    """
+    table = {}
+    for bsz in batch_sizes:
+        try:
+            sps, dt = bench_training(hp, spec, params, batch_size=bsz,
+                                     iters=max(2, min(5, 512 // bsz)))
+            table[str(bsz)] = {"step_ms": round(dt * 1e3, 1),
+                               "windows_per_sec": round(bsz * sps, 1)}
+        except Exception as exc:
+            table[str(bsz)] = {"error": f"{type(exc).__name__}"}
+            print(f"scaling b={bsz} failed: {exc}", file=sys.stderr)
+    return table
+
+
 def nll_parity_check(hp, spec, params):
     """Relative NLL error vs the independent float64 torch implementation."""
     try:
@@ -109,6 +129,7 @@ def nll_parity_check(hp, spec, params):
 
 
 def main():
+    scaling = "--scaling" in sys.argv
     hp, spec, params = build_full_model()
     dev = jax.devices()[0]
     print(f"benchmarking on {dev.device_kind} ({dev.platform})", file=sys.stderr)
@@ -117,6 +138,8 @@ def main():
     fps_b1, _ = bench_sampling(hp, spec, params, batch_size=1)
     fps_batch, _ = bench_sampling(hp, spec, params, batch_size=128)
     train_sps, train_dt = bench_training(hp, spec, params)
+    sps_1024, _ = bench_training(hp, spec, params, batch_size=1024, iters=2)
+    batch_table = (bench_batch_scaling(hp, spec, params) if scaling else None)
     with jax.default_matmul_precision("default"):
         train_sps_fast, _ = bench_training(hp, spec, params)
         fps_b1_fast, _ = bench_sampling(hp, spec, params, batch_size=1)
@@ -135,10 +158,13 @@ def main():
         "sampling_fps_batch1_bf16matmul": round(fps_b1_fast, 1),
         "sampling_fps_batched_bf16matmul": round(fps_batch_fast, 1),
         "train_windows_per_sec": round(train_sps * 256, 1),
+        "train_windows_per_sec_b1024": round(sps_1024 * 1024, 1),
         "nll_parity_rel_err_vs_torch_f64": (round(parity, 8)
                                             if parity is not None else None),
         "device": f"{dev.device_kind}",
     }
+    if batch_table is not None:
+        result["batch_scaling"] = batch_table
     print(json.dumps(result))
 
 

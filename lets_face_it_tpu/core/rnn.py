@@ -93,7 +93,7 @@ def gru_cell_precomputed(params, gi, h):
     return (1.0 - z) * n + z * h
 
 
-def gru_scan(params, xs, h0=None, *, unroll: int = 1):
+def gru_scan(params, xs, h0=None, *, unroll: int = 1, remat: bool = False):
     """Run a GRU over the time axis. xs: [B, T, in] -> (outputs [B, T, H], h_T).
 
     Equivalent to a single-layer batch_first ``torch.nn.GRU``. The scan is
@@ -103,6 +103,11 @@ def gru_scan(params, xs, h0=None, *, unroll: int = 1):
     materializes a [B, T, 3H] gate tensor through HBM that far outweighs the
     recomputed small x-projection; unrolling this scan likewise slowed the
     backward pass. This model is bandwidth-, not FLOP-bound.)
+
+    ``remat=True`` recomputes the gate activations in the backward pass
+    instead of saving ~6 [T, B, H] buffers — the conditioning encoders run
+    this scan with per-step batch B*N, where those buffers are what OOMs
+    the training step at batch 1024 (30.9 GiB requested on a 16 GiB v5e).
     """
     hidden = params["w_hh"].shape[1]
     if h0 is None:
@@ -112,12 +117,15 @@ def gru_scan(params, xs, h0=None, *, unroll: int = 1):
         h_new = gru_cell(params, x_t, h)
         return h_new, h_new
 
+    if remat:
+        step = jax.checkpoint(step)
     h_last, ys = jax.lax.scan(step, h0, jnp.moveaxis(xs, -2, 0),
                               unroll=unroll)
     return jnp.moveaxis(ys, 0, -2), h_last
 
 
-def lstm_scan(params, xs, state0=None, *, unroll: int = 1):
+def lstm_scan(params, xs, state0=None, *, unroll: int = 1,
+              remat: bool = False):
     """Single-layer LSTM over time. xs: [B, T, in] -> (outputs, (h_T, c_T))."""
     hidden = params["w_hh"].shape[1]
     if state0 is None:
@@ -128,6 +136,8 @@ def lstm_scan(params, xs, state0=None, *, unroll: int = 1):
         h_new, c_new = lstm_cell(params, x_t, state)
         return (h_new, c_new), h_new
 
+    if remat:
+        step = jax.checkpoint(step)
     state_last, ys = jax.lax.scan(step, state0, jnp.moveaxis(xs, -2, 0),
                                   unroll=unroll)
     return jnp.moveaxis(ys, 0, -2), state_last

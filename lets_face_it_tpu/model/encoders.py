@@ -29,6 +29,10 @@ from lets_face_it_tpu.model.spec import CondSpec, EncSpec
 # Concat order of the conditioning vector (models.py:127-145).
 MODALITY_ORDER = ("p1_face", "p2_face", "p1_speech", "p2_speech")
 
+# Estimated backward-saved activation bytes above which an RNN encoder's
+# scan rematerializes its gates (see encode_windows).
+_REMAT_THRESHOLD_BYTES = 3 * 2**30
+
 
 # ---------------------------------------------------------------------------
 # Init
@@ -83,14 +87,21 @@ def encode_windows(spec: EncSpec, params, windows, *, rng=None, training=False):
         windows = _frame_dropout(rng, windows, spec.dropout)
 
     b, n, h, d = windows.shape
+    # The backward pass saves ~6 [h, B*N, H] gate buffers per RNN encoder —
+    # the allocations that OOM the b1024 training step (30.9 GiB requested on
+    # a 16 GiB v5e). Shapes are static, so decide at trace time: above the
+    # threshold, recompute gates in the backward (only the hidden-state chain
+    # is saved). Measured: unlocks b1024 at 1644 windows/s; ~1% step cost at
+    # b512; b<=256 stays on the no-remat path (see docs/PERF.md).
+    remat = 6 * h * b * n * spec.hidden_dim * 4 > _REMAT_THRESHOLD_BYTES
     if spec.enc == "rnn":
         flat = windows.reshape(b * n, h, d)
-        _, h_last = rnn.gru_scan(params["rnn"], flat)
+        _, h_last = rnn.gru_scan(params["rnn"], flat, remat=remat)
         out = jnp.concatenate([h_last, h_last], axis=-1)
         return out.reshape(b, n, spec.out_dim)
     if spec.enc == "lstm":
         flat = windows.reshape(b * n, h, d)
-        _, (h_last, _) = rnn.lstm_scan(params["rnn"], flat)
+        _, (h_last, _) = rnn.lstm_scan(params["rnn"], flat, remat=remat)
         out = jnp.concatenate([h_last, h_last], axis=-1)
         return out.reshape(b, n, spec.out_dim)
     if spec.enc == "mlp":

@@ -13,19 +13,19 @@ Kept semantics:
   * early stopping on val_loss with patience 2
   * study state (all trials + best) persisted as JSON, resumable
 
-Sampling is random search (the reference used Optuna's default TPE; random
-search over the same space keeps the harness dependency-free — plug a
-smarter sampler into ``Trial`` if desired).
+Sampling defaults to a from-scratch univariate TPE (train/samplers.py) —
+the same estimator family as the reference's Optuna default — with
+``sampler="random"`` available for plain random search.
 """
 
 from __future__ import annotations
 
 import json
-import math
 import multiprocessing
-import random
 import traceback
 from pathlib import Path
+
+from lets_face_it_tpu.train.samplers import make_sampler
 
 
 class TrialPruned(Exception):
@@ -37,23 +37,25 @@ class FailedTrial(Exception):
 
 
 class Trial:
-    """Optuna-compatible suggest API over a seeded RNG, recording choices."""
+    """Optuna-compatible suggest API; values come from the study's sampler."""
 
-    def __init__(self, number: int, seed: int):
+    def __init__(self, number: int, sampler):
         self.number = number
-        self.rng = random.Random(seed)
+        self.sampler = sampler
+        self.rng = sampler.rng_for_trial(number)
         self.params: dict = {}
         self.user_attrs: dict = {}
 
-    def _record(self, name, value):
+    def _suggest(self, name, kind, **meta):
+        value = self.sampler.suggest(self.rng, name, kind, meta)
         self.params[name] = value
         return value
 
     def suggest_categorical(self, name, choices):
-        return self._record(name, self.rng.choice(list(choices)))
+        return self._suggest(name, "categorical", choices=list(choices))
 
     def suggest_uniform(self, name, low, high):
-        return self._record(name, self.rng.uniform(low, high))
+        return self._suggest(name, "uniform", low=low, high=high)
 
     def suggest_float(self, name, low, high, *, log=False):
         if log:
@@ -61,11 +63,10 @@ class Trial:
         return self.suggest_uniform(name, low, high)
 
     def suggest_loguniform(self, name, low, high):
-        return self._record(
-            name, math.exp(self.rng.uniform(math.log(low), math.log(high))))
+        return self._suggest(name, "loguniform", low=low, high=high)
 
     def suggest_int(self, name, low, high):
-        return self._record(name, self.rng.randint(low, high))
+        return self._suggest(name, "int", low=low, high=high)
 
     def set_user_attr(self, key, value):
         self.user_attrs[key] = value
@@ -157,15 +158,22 @@ class Study:
 
     def optimize(self, base_hparams, space_fn, *, n_trials: int,
                  max_steps: int | None = None, seed: int = 0,
-                 use_subprocess: bool = True):
+                 use_subprocess: bool = True, sampler="tpe"):
         """space_fn(hparams, trial) -> hparams (mutated), like the reference's
-        ``hparam_options`` modules."""
+        ``hparam_options`` modules. ``sampler``: "tpe" (default, like the
+        reference's Optuna), "random", or a sampler instance."""
         from lets_face_it_tpu.hparams import HParams, validate_hparams
+
+        sampler = make_sampler(sampler, seed)
+        # resuming: replay completed trials into the sampler's history
+        for t in self.trials:
+            if t.get("value") is not None:
+                sampler.observe(t["params"], t["value"])
 
         start_number = len(self.trials)
         for i in range(n_trials):
             number = start_number + i
-            trial = Trial(number, seed=seed + number)
+            trial = Trial(number, sampler)
             hp = HParams(**json.loads(json.dumps(base_hparams.to_dict(),
                                                  default=str)))
             hp = space_fn(hp, trial)
@@ -197,6 +205,7 @@ class Study:
             record["user_attrs"]["batch_size"] = batch_size
             if "val_loss" in result:
                 record.update(value=result["val_loss"], state="complete")
+                sampler.observe(trial.params, result["val_loss"])
             elif "pruned" in result:
                 record.update(state="pruned", note=result["pruned"])
             elif "early_stop" in result:

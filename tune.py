@@ -23,6 +23,8 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--study_dir", default="tuning_studies")
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--sampler", choices=["tpe", "random"],
+                        default="tpe")
     parser.add_argument("--no-subprocess", action="store_true",
                         help="run trials in-process (debugging)")
     args = parser.parse_args()
@@ -50,7 +52,8 @@ def main():
     study = Study(conf_name, args.study_dir)
     best = study.optimize(hp, space_fn, n_trials=args.n_trials,
                           max_steps=args.max_steps, seed=args.seed,
-                          use_subprocess=not args.no_subprocess)
+                          use_subprocess=not args.no_subprocess,
+                          sampler=args.sampler)
 
     print(f"finished trials: {len(study.trials)}")
     if best:
