@@ -237,7 +237,8 @@ def openface_targets(csv_rows) -> np.ndarray:
 def fit_session_participant(part_dir, fps: int, *, model=None, emb=None,
                             flame_model_path=None,
                             landmark_embedding_path=None,
-                            batch_frames: int = 256):
+                            batch_frames: int = 256,
+                            stage1_steps: int = 30, stage2_steps: int = 60):
     """Produce ``flame_{fps}fps.h5`` for one participant directory from its
     OpenFace CSV (+ optional RingNet init), the batched-XLA replacement for
     the reference's extract_flame (flame.py:244-303)."""
@@ -271,7 +272,9 @@ def fit_session_participant(part_dir, fps: int, *, model=None, emb=None,
         hi = min(lo + batch_frames, n)
         chunk_init = ({k: v[lo:hi] for k, v in init.items()}
                       if init else None)
-        params, _ = fit_batch(model, emb, targets[lo:hi], chunk_init)
+        params, _ = fit_batch(model, emb, targets[lo:hi], chunk_init,
+                              stage1_steps=stage1_steps,
+                              stage2_steps=stage2_steps)
         results["tf_trans"].append(np.asarray(params["trans"]))
         results["tf_rot"].append(np.asarray(params["rot"]))
         results["tf_pose"].append(np.asarray(params["pose"]))
