@@ -78,14 +78,23 @@ class Rasterizer:
             ctypes.POINTER(_Camera),
             ctypes.POINTER(_PointLight), ctypes.c_int32,
             ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32,
         ]
 
-    def render(self, meshes_per_frame):
+    def render(self, meshes_per_frame, *, uvs=None, textures=None):
         """meshes_per_frame: list over meshes of
         (vertices [T, V_m, 3] float32, faces [F_m, 3] int32,
          colors [V_m, 3] float in 0..1).
+
+        Textured rendering (render_tools.py:117-165 skin-texture parity):
+        ``uvs`` is a list over meshes of per-face-corner coords
+        [F_m, 3, 2] (FLAME's vt[ft] layout) and ``textures`` a list of
+        equal-size [th, tw, 3] uint8 images, one per mesh; per-vertex
+        colors then act as a tint (pass ones for pure texture).
+
         Returns images [T, H, W, 3] uint8 (RGB)."""
         n_meshes = len(meshes_per_frame)
         t = meshes_per_frame[0][0].shape[0]
@@ -107,6 +116,19 @@ class Rasterizer:
             np.concatenate([m[2] for m in meshes_per_frame], axis=0),
             np.float32)
 
+        uv_ptr = ctypes.POINTER(ctypes.c_float)()
+        tex_ptr = ctypes.POINTER(ctypes.c_uint8)()
+        tex_w = tex_h = 0
+        if uvs is not None and textures is not None:
+            assert len(uvs) == n_meshes and len(textures) == n_meshes
+            uv_arr = np.ascontiguousarray(np.concatenate(uvs, axis=0),
+                                          np.float32)       # [total_F, 3, 2]
+            assert uv_arr.shape == (face_offsets[-1], 3, 2)
+            tex_arr = np.ascontiguousarray(np.stack(textures), np.uint8)
+            _, tex_h, tex_w, _ = tex_arr.shape
+            uv_ptr = uv_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            tex_ptr = tex_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
         images = np.empty((t, self.height, self.width, 3), np.uint8)
         images[:] = self.background
 
@@ -120,6 +142,7 @@ class Rasterizer:
             ctypes.byref(self.camera),
             self._lights, len(self._lights),
             self.ambient, self.ambient, self.ambient,
+            uv_ptr, tex_ptr, tex_w, tex_h,
             images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             t, self.width, self.height)
         return images

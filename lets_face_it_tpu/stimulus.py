@@ -140,10 +140,13 @@ def generate_videos(flame_model, sequences, output_dir, data_dir=None,
 
         with tempfile.TemporaryDirectory() as tmpd:
             f_name = Path(tmpd) / file_name
+            # user-study stimuli render textured, like the reference's
+            # skin-texture OBJs (render_tools.py:117-165)
             render_double_face_video(str(f_name), verts_l, verts_r,
                                      flame_model.faces, fps=25,
                                      skin_color_v1=left_skin,
-                                     skin_color_v2=right_skin)
+                                     skin_color_v2=right_skin,
+                                     textured=True)
             shutil.move(str(f_name), output_file)
 
 

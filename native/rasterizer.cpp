@@ -36,6 +36,12 @@ struct PointLight {
 // colors:   concatenated [total_verts, 3] float32 (0..1 per-vertex albedo)
 // faces:    concatenated [total_faces, 3] int32, indices local to each mesh
 // mesh_vert_offsets / mesh_face_offsets: [n_meshes + 1] prefix offsets
+// uvs: optional per-face-corner texture coords [total_faces, 3, 2] float32
+//      (FLAME ships a separate vt/ft table, so UVs live on corners, not
+//      vertices — seams stay sharp). NULL -> per-vertex-color shading.
+// textures: optional [n_meshes, tex_h, tex_w, 3] uint8 (one per mesh);
+//      sampled bilinearly, modulated by the interpolated Gouraud lighting
+//      (per-vertex colors then act as a tint — pass 1.0 for pure texture).
 // image: [height, width, 3] uint8, preset by caller (background)
 // depth: [height, width] float32 scratch, caller-allocated
 void render_frame(
@@ -46,9 +52,12 @@ void render_frame(
     const Camera* cam,
     const PointLight* lights, int32_t n_lights,
     float ambient_r, float ambient_g, float ambient_b,
+    const float* uvs, const uint8_t* textures,
+    int32_t tex_w, int32_t tex_h,
     uint8_t* image, float* depth,
     int32_t width, int32_t height)
 {
+    const bool textured = uvs != nullptr && textures != nullptr;
     const int64_t total_verts = mesh_vert_offsets[n_meshes];
 
     for (int64_t i = 0; i < (int64_t)width * height; i++) depth[i] = 1e30f;
@@ -124,6 +133,8 @@ void render_frame(
     // ---- rasterize triangles with z-buffer ----
     for (int m = 0; m < n_meshes; m++) {
         const int64_t v0off = mesh_vert_offsets[m];
+        const uint8_t* tex = textured
+            ? textures + (int64_t)m * tex_h * tex_w * 3 : nullptr;
         for (int64_t f = mesh_face_offsets[m]; f < mesh_face_offsets[m + 1]; f++) {
             const int64_t ia = v0off + faces[f * 3 + 0];
             const int64_t ib = v0off + faces[f * 3 + 1];
@@ -162,9 +173,31 @@ void render_frame(
                     // perspective-correct color weights
                     const float pw0 = w0 * iza * z, pw1 = w1 * izb * z, pw2 = w2 * izc * z;
                     uint8_t* pix = image + ((int64_t)py * width + px) * 3;
+                    float texel[3] = {1.0f, 1.0f, 1.0f};
+                    if (tex) {
+                        // perspective-correct UV, bilinear sample
+                        const float* fuv = uvs + f * 6;
+                        float u = pw0*fuv[0] + pw1*fuv[2] + pw2*fuv[4];
+                        float v = pw0*fuv[1] + pw1*fuv[3] + pw2*fuv[5];
+                        u = std::min(std::max(u, 0.0f), 1.0f) * (tex_w - 1);
+                        v = (1.0f - std::min(std::max(v, 0.0f), 1.0f)) * (tex_h - 1);
+                        const int u0 = (int)u, v0i = (int)v;
+                        const int u1 = std::min(u0 + 1, tex_w - 1);
+                        const int v1i = std::min(v0i + 1, tex_h - 1);
+                        const float fu = u - u0, fv = v - v0i;
+                        for (int ch = 0; ch < 3; ch++) {
+                            const float t00 = tex[((int64_t)v0i*tex_w + u0)*3 + ch];
+                            const float t01 = tex[((int64_t)v0i*tex_w + u1)*3 + ch];
+                            const float t10 = tex[((int64_t)v1i*tex_w + u0)*3 + ch];
+                            const float t11 = tex[((int64_t)v1i*tex_w + u1)*3 + ch];
+                            texel[ch] = ((t00*(1-fu) + t01*fu) * (1-fv)
+                                       + (t10*(1-fu) + t11*fu) * fv) / 255.0f;
+                        }
+                    }
                     for (int ch = 0; ch < 3; ch++) {
                         float val = pw0 * lit[ia*3+ch] + pw1 * lit[ib*3+ch]
                                   + pw2 * lit[ic*3+ch];
+                        val *= texel[ch];
                         pix[ch] = (uint8_t)std::min(std::max(val, 0.0f) * 255.0f, 255.0f);
                     }
                 }
@@ -184,6 +217,8 @@ void render_frames(
     const Camera* cam,
     const PointLight* lights, int32_t n_lights,
     float ambient_r, float ambient_g, float ambient_b,
+    const float* uvs, const uint8_t* textures,
+    int32_t tex_w, int32_t tex_h,
     uint8_t* images, int32_t n_frames,
     int32_t width, int32_t height)
 {
@@ -199,6 +234,7 @@ void render_frames(
                          mesh_vert_offsets, mesh_face_offsets, n_meshes,
                          cam, lights, n_lights,
                          ambient_r, ambient_g, ambient_b,
+                         uvs, textures, tex_w, tex_h,
                          images + t * frame_px * 3, depth.data(),
                          width, height);
         }

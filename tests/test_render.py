@@ -211,3 +211,61 @@ def test_render_client_embeds_video_url(tmp_path):
         assert "/video/" in seen["url"]
     finally:
         server.shutdown()
+
+
+def test_rasterizer_textured_triangle():
+    """UV-textured path: a half-green/half-blue texture mapped across a
+    triangle must show both colors on the correct sides."""
+    from lets_face_it_tpu.render.rasterizer import Rasterizer
+
+    r = Rasterizer(width=128, height=128, x=64, y=64, z=0, f=(100.0, 100.0),
+                   ambient=1.0, lights=[])
+    verts, faces, _ = _triangle_scene()
+    colors = np.ones((3, 3), np.float32)
+    # u runs left->right across the triangle
+    uvs = np.array([[[0.0, 0.5], [1.0, 0.5], [0.5, 0.5]]], np.float32)
+    tex = np.zeros((8, 8, 3), np.uint8)
+    tex[:, :4] = (0, 255, 0)     # left half green
+    tex[:, 4:] = (0, 0, 255)     # right half blue
+    img = r.render([(verts, faces, colors)], uvs=[uvs], textures=[tex])[0]
+
+    non_bg = (img != 255).any(axis=-1)
+    assert non_bg.sum() > 100
+    ys, xs = np.nonzero(non_bg)
+    mid = (xs.min() + xs.max()) // 2
+    left = img[non_bg & (np.arange(128)[None, :] < mid - 5)]
+    right = img[non_bg & (np.arange(128)[None, :] > mid + 5)]
+    assert left[:, 1].mean() > left[:, 2].mean(), "left side must be green"
+    assert right[:, 2].mean() > right[:, 1].mean(), "right side must be blue"
+
+
+def test_textured_double_face_video(tmp_path):
+    """End-to-end textured dyadic rendering (render_tools.py:117-165):
+    the textured render differs from the flat-color one and shows more
+    within-face variation (the texture mottling)."""
+    from lets_face_it_tpu.render.rasterizer import Rasterizer
+    from lets_face_it_tpu.render.texture import (
+        cylindrical_uv_layout,
+        procedural_skin_texture,
+    )
+
+    model = flame.synthetic_flame_model(96)
+    verts = np.asarray(flame.get_vertices(
+        model, expression=jnp.zeros((2, 50)),
+        pose=jnp.zeros((2, 12)), rotation=jnp.zeros((2, 3)),
+        shape=jnp.zeros((2, 300))))
+
+    r = Rasterizer(width=96, height=96, x=48, y=40, z=-1, f=(475.0, 475.0))
+    flat = np.tile(np.array([[0.95, 0.78, 0.66]], np.float32),
+                   (verts.shape[1], 1))
+    img_flat = r.render([(verts, model.faces, flat)])[0]
+
+    uv = cylindrical_uv_layout(verts[0], model.faces)
+    tex = procedural_skin_texture("white", size=64, seed=0)
+    ones = np.ones((verts.shape[1], 3), np.float32)
+    img_tex = r.render([(verts, model.faces, ones)],
+                       uvs=[uv], textures=[tex])[0]
+
+    fg = (img_flat != 255).any(axis=-1) & (img_tex != 255).any(axis=-1)
+    assert fg.sum() > 50
+    assert not np.array_equal(img_tex[fg], img_flat[fg])
