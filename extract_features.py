@@ -158,6 +158,31 @@ def stage_flame(sessions, fps):
             log(f"flame: {out_h5}")
 
 
+def stage_voca(dataset_dir, fps):
+    """Lipsync meshes per participant (reference voca.py:180-202). Uses the
+    built-in envelope articulation model on the configured FLAME model; plug
+    the real VOCA via features/lipsync.extract_voca(model=...)."""
+    try:
+        from lets_face_it_tpu.config import CONFIG
+        from lets_face_it_tpu.features.lipsync import (
+            EnvelopeLipsync,
+            extract_voca,
+        )
+        from lets_face_it_tpu.render.flame import load_flame
+
+        flame_path = CONFIG.get("flame", {}).get("model_path_generic")
+        if not flame_path or not Path(flame_path).exists():
+            log("voca stage: [flame].model_path_generic not found — "
+                "skipping")
+            return
+        model = EnvelopeLipsync(load_flame(flame_path))
+    except Exception as exc:
+        log(f"voca stage unavailable: {exc}")
+        return
+    for f in extract_voca(dataset_dir, fps, model=model):
+        log(f"voca: {f}")
+
+
 def stage_combine(dataset_dir, splits_file, fps, output):
     from lets_face_it_tpu.features import combine
 
@@ -206,9 +231,12 @@ def main():
         stage_audio(sessions, args.fps)
     if "openface" in stages:
         stage_openface(sessions, args.fps)
-    if "ringnet" in stages or "voca" in stages:
-        log("ringnet/voca: external TF1 stages — see "
-            "lets_face_it_tpu/features/external.py for the drop-in contract")
+    if "ringnet" in stages:
+        log("ringnet: external TF1 stage — see "
+            "lets_face_it_tpu/features/external.py for the drop-in contract "
+            "(its ringnet_25fps.h5 output seeds the flame stage when present)")
+    if "voca" in stages:
+        stage_voca(dataset_dir, args.fps)
     if "flame" in stages:
         stage_flame(sessions, args.fps)
     if "combine" in stages:
