@@ -58,15 +58,36 @@ def bench_sampling(hp, spec, params, batch_size: int, gen_frames: int = 100,
     rng = jax.random.PRNGKey(1)
     # pre-split keys: an eager fold_in per iteration would be a separate
     # host->device dispatch inside the timing loop
-    keys = list(jax.random.split(rng, iters))
-    sample(params, data, rng).block_until_ready()  # compile
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = sample(params, data, keys[i])
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    keys = list(jax.random.split(rng, 3 * iters))
+    _hard_sync(sample(params, data, rng))  # compile + drain queue
+
+    def timed(ks):
+        t0 = time.perf_counter()
+        out = None
+        for k in ks:
+            out = sample(params, data, k)
+        _hard_sync(out)
+        return time.perf_counter() - t0
+
+    # difference method: the fixed hard-sync/queue-lag cost cancels
+    t_short = timed(keys[:iters])
+    t_long = timed(keys[iters:])
+    dt = max(t_long - t_short, 1e-9) / iters
     frames_per_sec = batch_size * gen_frames / dt
     return frames_per_sec, dt
+
+
+def _hard_sync(x):
+    """Force remote completion: a scalar host fetch of the last output.
+
+    On the axon remote-TPU platform ``block_until_ready`` can return before
+    independent queued dispatches have executed; the single device executes
+    in dispatch order, so fetching a scalar derived from the final output
+    drains the whole queue (validated against jax.profiler module durations
+    — see docs/PERF.md). Timing loops use the N-vs-2N difference so the
+    fetch's fixed round-trip cost cancels."""
+    leaf = jax.tree.leaves(x)[0]
+    float(jax.numpy.sum(leaf))
 
 
 def bench_training(hp, spec, params, batch_size: int = 256, iters: int = 5):
@@ -82,12 +103,19 @@ def bench_training(hp, spec, params, batch_size: int = 256, iters: int = 5):
              _example_batch(hp, batch_size, hp.Train["seq_len"]).items()}
 
     state, m = step(state, batch)   # compile
-    jax.block_until_ready(m)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, batch)
-    jax.block_until_ready(m)
-    dt = (time.perf_counter() - t0) / iters
+    _hard_sync(m)
+
+    def timed(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, m = step(state, batch)
+        _hard_sync(m)
+        return time.perf_counter() - t0
+
+    t_short = timed(iters)
+    t_long = timed(2 * iters)
+    dt = max(t_long - t_short, 1e-9) / iters
     return 1.0 / dt, dt
 
 

@@ -108,14 +108,28 @@ def parse_trace(trace_dir: Path):
     return per_cat, per_op, total
 
 
+def _hard_sync(x):
+    """Scalar host fetch: on the remote axon platform block_until_ready can
+    return before independent queued dispatches execute (see docs/PERF.md)."""
+    import jax.numpy as jnp
+
+    leaf = jax.tree.leaves(x)[0]
+    float(jnp.sum(leaf))
+
+
 def time_fn(fn, *fn_args, iters=5):
-    out = fn(*fn_args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*fn_args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    _hard_sync(fn(*fn_args))  # compile + drain
+
+    def timed(n):
+        out = None
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*fn_args)
+        _hard_sync(out)
+        return time.perf_counter() - t0
+
+    # N-vs-2N difference cancels the fixed sync/queue-lag cost
+    return max(timed(2 * iters) - timed(iters), 1e-9) / iters
 
 
 def component_ablations(hp, spec, state, batch, iters=5):
