@@ -6,8 +6,9 @@ The TPU-native rebuild of the reference pipeline
 audio DSP (prosody / MFCC / VAD) runs as jit-compiled JAX whole-utterance
 batches, FLAME landmark fitting runs as batched L-BFGS over frames in XLA
 (replacing the reference's Ray actor pool), and the heavyweight external
-stages (OpenFace docker, RingNet/VOCA TF1 graphs) are optional adapters with
-documented drop-in file interfaces.
+stages have in-framework defaults with documented drop-in file interfaces for
+the originals: RingNet -> landmark-driven init (features/ringnet_lite.py),
+VOCA -> envelope lipsync (features/lipsync.py), OpenFace -> docker adapter.
 
 Every stage is idempotent — it checks for its output and skips — so the
 pipeline is resumable at file granularity, like the reference.
@@ -140,13 +141,54 @@ def stage_openface(sessions, fps):
                 return
 
 
-def stage_flame(sessions, fps):
-    try:
-        from lets_face_it_tpu.features import flame_fit
-    except ImportError as exc:
-        log(f"flame stage unavailable: {exc}")
-        return
+def _flame_assets():
+    """(FlameModel, LandmarkEmbedding) from config.toml's [flame] paths, or
+    None with a log line when the official assets aren't installed."""
+    from lets_face_it_tpu.config import CONFIG
+    from lets_face_it_tpu.features import flame_fit
+    from lets_face_it_tpu.render.flame import load_flame
 
+    flame_cfg = CONFIG.get("flame", {})
+    model_path = flame_cfg.get("model_path_generic")
+    emb_path = flame_cfg.get("static_landmark_embedding_path")
+    if (not model_path or not Path(model_path).exists()
+            or not emb_path or not Path(emb_path).exists()):
+        log("flame assets not found ([flame].model_path_generic / "
+            ".static_landmark_embedding_path in config.toml) — skipping")
+        return None
+    model = load_flame(model_path)
+    emb = flame_fit.load_landmark_embedding(emb_path, model.faces)
+    return model, emb
+
+
+def stage_ringnet(sessions, fps):
+    """FLAME initialisation for the fitter. A real RingNet drop-in
+    (features/external.py contract) takes precedence: this stage skips any
+    participant whose ``ringnet_{fps}fps.h5`` already exists and otherwise
+    estimates the init from the OpenFace landmarks (features/ringnet_lite.py)."""
+    from lets_face_it_tpu.features import ringnet_lite
+
+    assets = _flame_assets()
+    if assets is None:
+        return
+    model, emb = assets
+    for session in sessions:
+        for part in ("P1", "P2"):
+            part_dir = session / part
+            if not (part_dir / f"openface_{fps}fps.csv").exists():
+                continue
+            out = ringnet_lite.extract_ringnet_lite(part_dir, fps,
+                                                    model=model, emb=emb)
+            log(f"ringnet(-lite): {out}")
+
+
+def stage_flame(sessions, fps):
+    from lets_face_it_tpu.features import flame_fit
+
+    assets = _flame_assets()
+    if assets is None:
+        return
+    model, emb = assets
     for session in sessions:
         for part in ("P1", "P2"):
             part_dir = session / part
@@ -154,7 +196,8 @@ def stage_flame(sessions, fps):
             csv_file = part_dir / f"openface_{fps}fps.csv"
             if out_h5.exists() or not csv_file.exists():
                 continue
-            flame_fit.fit_session_participant(part_dir, fps)
+            flame_fit.fit_session_participant(part_dir, fps, model=model,
+                                               emb=emb)
             log(f"flame: {out_h5}")
 
 
@@ -232,9 +275,7 @@ def main():
     if "openface" in stages:
         stage_openface(sessions, args.fps)
     if "ringnet" in stages:
-        log("ringnet: external TF1 stage — see "
-            "lets_face_it_tpu/features/external.py for the drop-in contract "
-            "(its ringnet_25fps.h5 output seeds the flame stage when present)")
+        stage_ringnet(sessions, args.fps)
     if "voca" in stages:
         stage_voca(dataset_dir, args.fps)
     if "flame" in stages:

@@ -225,3 +225,79 @@ def test_ringnet_init_lowers_fit_loss(tmp_path):
     # with the ringnet seed and few steps, recovered rotations track truth
     true_rot = np.stack([np.asarray(p["rot"]) for p in true])
     assert np.abs(got_rot - true_rot).max() < 0.15, (got_rot, true_rot)
+
+
+def _write_openface_csv(part, targets):
+    with open(part / "openface_25fps.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow([f"c{i}" for i in range(436)])
+        for i in range(targets.shape[0]):
+            lm = targets[i].copy()
+            lm[:, 1] = 1024.0 - lm[:, 1]  # un-flip for CSV storage
+            full = np.zeros((68, 2), np.float32)
+            full[17:] = lm
+            row = ["0"] * 299 + [str(v) for v in full[:, 0]] \
+                + [str(v) for v in full[:, 1]] + ["0"]
+            w.writerow(row)
+
+
+def test_ringnet_lite_stage(tmp_path):
+    """The in-framework RingNet-lite stage (features/ringnet_lite.py):
+    openface CSV -> reference-layout ringnet_{fps}fps.h5 whose init lowers
+    the main fit's loss, replacing the external TF1 RingNet role
+    (ringnet.py:96-158)."""
+    from lets_face_it_tpu.features import ringnet_lite
+
+    n = 6
+    rng = np.random.default_rng(11)
+    shared_shape = np.zeros(300, np.float32)
+    shared_shape[:5] = rng.uniform(-1.2, 1.2, 5)
+    true = []
+    for _ in range(n):
+        true.append({
+            "trans": jnp.asarray(rng.uniform(-0.03, 0.03, 3), jnp.float32),
+            "rot": jnp.asarray(rng.uniform(-0.4, 0.4, 3), jnp.float32),
+            "pose": jnp.zeros(12),
+            "shape": jnp.asarray(shared_shape),
+            "exp": jnp.zeros(100),
+            "scale": jnp.asarray(750.0),
+        })
+    targets = _targets_from_params(true)
+
+    part = tmp_path / "P1"
+    part.mkdir()
+    _write_openface_csv(part, targets)
+
+    out = ringnet_lite.extract_ringnet_lite(
+        part, 25, model=MODEL, emb=EMB, shape_frames=6)
+    assert out == part / "ringnet_25fps.h5"
+    with h5py.File(out) as f:
+        fp = f["flame_params"]
+        assert fp["cam"].shape == (n, 3)
+        assert fp["pose"].shape == (n, 6)          # [rot | jaw]
+        assert fp["shape"].shape == (n, 100)
+        assert fp["expression"].shape == (n, 50)
+        got_rot = fp["pose"][:, :3]
+        # all frames share one session-level shape estimate
+        assert np.ptp(fp["shape"][()], axis=0).max() < 1e-6
+    true_rot = np.stack([np.asarray(p["rot"]) for p in true])
+    assert np.abs(got_rot - true_rot).max() < 0.2, (got_rot, true_rot)
+
+    # idempotent driver (reference stage convention)
+    mtime = out.stat().st_mtime_ns
+    assert ringnet_lite.extract_ringnet_lite(part, 25, model=MODEL,
+                                             emb=EMB) == out
+    assert out.stat().st_mtime_ns == mtime
+
+    # the lite init measurably helps the main fit under a small step budget
+    with h5py.File(out) as f:
+        fp = f["flame_params"]
+        init = {"rot": fp["pose"][:, :3],
+                "pose": np.pad(fp["pose"][:, 3:6], ((0, 0), (3, 6))),
+                "shape": fp["shape"][()], "exp": fp["expression"][()]}
+    steps = dict(stage1_steps=4, stage2_steps=8)
+    _, losses_lite = flame_fit.fit_batch(MODEL, EMB, targets, init, **steps)
+    _, losses_zero = flame_fit.fit_batch(MODEL, EMB, targets, None, **steps)
+    assert (np.asarray(losses_lite).mean()
+            < 0.9 * np.asarray(losses_zero).mean()), (
+        np.asarray(losses_lite), np.asarray(losses_zero))
