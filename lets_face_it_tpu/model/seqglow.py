@@ -53,10 +53,16 @@ def _frame_numbers(spec: FlowSpec, batch, n_frames: int):
 
 
 def sequence_nll(spec: FlowSpec, params: SeqGlowParams, batch, *, rng=None,
-                 training=False, collect_scales=False):
+                 training=False, collect_scales=False, use_fused=None):
     """Teacher-forced NLL over a [B, T, C] sequence.
 
     Returns (z_seq [N, B, C], loss scalar, per-frame per-sample losses [N, B]).
+
+    ``use_fused``: run the whole [N-frame x K-step] flow traversal as the
+    fused Pallas training kernel pair (ops/pallas_train.py, hand-derived
+    VJP); auto-enabled on TPU when the flow configuration and batch size are
+    inside the kernel envelope. The conditioning encoders stay on the XLA
+    path either way.
     """
     x = batch["p1_face"]
     b, t, _ = x.shape
@@ -74,6 +80,22 @@ def sequence_nll(spec: FlowSpec, params: SeqGlowParams, batch, *, rng=None,
     # MXU-shaped contraction
     cond_projs = flow.project_cond_frames(params.flow, cond_all)  # [N, K, B, c]
     states0 = flow.init_flow_states(spec, b, x.dtype)
+
+    if use_fused is None:
+        from lets_face_it_tpu.ops import pallas_train
+
+        use_fused = (pallas_train.train_fused_supported(spec, b)
+                     and jax.default_backend() == "tpu")
+    if use_fused:
+        from lets_face_it_tpu.ops import pallas_train
+
+        z_seq, logdet, _, scales = pallas_train.flow_sequence_fused(
+            spec, params.flow, xs, cond_projs, states0)
+        losses = nll_from_objective(logdet + ops.gaussian_logp(z_seq))
+        loss = jnp.mean(losses)
+        if collect_scales:
+            return z_seq, loss, losses, scales
+        return z_seq, loss, losses
 
     def step(states, inp):
         x_t, proj_t = inp
@@ -216,7 +238,8 @@ def sequence_invert(spec: FlowSpec, params: SeqGlowParams, z_seq, data):
 # own jitted step; calling these un-jitted executes op-by-op — catastrophic
 # over a remote-device transport and wasteful everywhere)
 sequence_nll_jit = jax.jit(
-    sequence_nll, static_argnames=("spec", "training", "collect_scales"))
+    sequence_nll,
+    static_argnames=("spec", "training", "collect_scales", "use_fused"))
 sequence_sample_jit = jax.jit(
     sequence_sample,
     static_argnames=("spec", "seq_len", "eps_std", "use_fused"))

@@ -1,0 +1,148 @@
+"""Fused training-path flow kernels vs the XLA autodiff reference
+(interpret mode on CPU; the same comparison runs compiled on TPU via
+tools/fused_train_probe.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lets_face_it_tpu.core import ops
+from lets_face_it_tpu.model import FlowSpec, flow, init_seqglow
+from lets_face_it_tpu.ops import pallas_train
+
+from conftest import tiny_hparams
+
+
+def _spec():
+    hp = tiny_hparams()
+    hp.Conditioning["p1_face"]["dim"] = 12
+    return FlowSpec.build(hp)
+
+
+def _nonzero_params(spec, seed=0):
+    params = init_seqglow(jax.random.PRNGKey(seed), spec)
+    mask = flow.trainable_mask(params.flow)
+    return jax.tree.map(
+        lambda x, m: x + 0.05 * jax.random.normal(jax.random.PRNGKey(9), x.shape)
+        if m else x, params.flow, mask)
+
+
+def _inputs(spec, n=5, b=4, seed=1):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    xs = jax.random.normal(ks[0], (n, b, spec.channels))
+    cond_seq = jax.random.normal(
+        ks[1], (n, spec.n_steps, b, spec.cond.cond_dim))
+    states0 = 0.1 * jax.random.normal(
+        ks[2], (spec.n_steps, b, spec.hidden_channels))
+    return xs, cond_seq, states0
+
+
+def _xla_reference(spec, pflow, xs, cond_seq, states0):
+    """The sequence_nll inner scan, at the flow level (model/seqglow.py)."""
+    def step(states, inp):
+        x_t, proj_t = inp
+        z, logdet, states, scales = flow.frame_fwd(
+            spec, pflow, x_t, None, states, collect_scales=True,
+            cond_projs=proj_t)
+        return states, (z, logdet, scales)
+
+    new_states, (z_seq, logdets, scales) = jax.lax.scan(
+        step, states0, (xs, cond_seq))
+    return z_seq, logdets, new_states, scales
+
+
+def _fused(spec, pflow, xs, cond_seq, states0):
+    return pallas_train.flow_sequence_fused(
+        spec, pflow, xs, cond_seq, states0, bt_fwd=2, bt_bwd=2,
+        interpret=True)
+
+
+def test_supported_envelope():
+    assert not pallas_train.train_fused_supported(_spec(), 256)
+    import __graft_entry__ as graft
+
+    final = FlowSpec.build(graft._tiny_final_hparams())
+    assert pallas_train.train_fused_supported(final, 256)
+    assert not pallas_train.train_fused_supported(final, 100)
+
+
+def test_fused_forward_matches_xla():
+    spec = _spec()
+    pflow = _nonzero_params(spec)
+    xs, cond_seq, states0 = _inputs(spec)
+
+    z_ref, ld_ref, st_ref, sc_ref = _xla_reference(
+        spec, pflow, xs, cond_seq, states0)
+    z_got, ld_got, st_got, sc_got = _fused(spec, pflow, xs, cond_seq, states0)
+
+    np.testing.assert_allclose(np.asarray(z_got), np.asarray(z_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld_got), np.asarray(ld_ref),
+                               atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_got), np.asarray(st_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sc_got), np.asarray(sc_ref),
+                               atol=1e-6)
+
+
+def test_fused_gradients_match_xla():
+    spec = _spec()
+    pflow = _nonzero_params(spec)
+    xs, cond_seq, states0 = _inputs(spec)
+
+    def loss(run, pflow, xs, cond_seq, states0):
+        z, logdet, new_states, _ = run(spec, pflow, xs, cond_seq, states0)
+        objective = logdet + ops.gaussian_logp(z)
+        # touch every output so every cotangent path is exercised
+        return (jnp.mean(-objective / ops.LN2)
+                + 0.05 * jnp.sum(new_states ** 2)
+                + 0.01 * jnp.sum(z ** 2))
+
+    def xla_run(spec, pflow, xs, cond_seq, states0):
+        z, ld, st, sc = _xla_reference(spec, pflow, xs, cond_seq, states0)
+        return z, ld, st, sc
+
+    args = (pflow, xs, cond_seq, states0)
+    ref_val, ref_grads = jax.value_and_grad(
+        lambda *a: loss(xla_run, *a), argnums=(0, 1, 2, 3))(*args)
+    got_val, got_grads = jax.value_and_grad(
+        lambda *a: loss(_fused, *a), argnums=(0, 1, 2, 3))(*args)
+
+    np.testing.assert_allclose(float(got_val), float(ref_val), rtol=1e-6)
+    flat_ref, _ = jax.tree.flatten(ref_grads)
+    flat_got, tree = jax.tree.flatten(got_grads)
+    for g_ref, g_got, path in zip(
+            flat_ref, flat_got,
+            jax.tree_util.tree_leaves_with_path(got_grads)):
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_ref), atol=2e-5, rtol=1e-4,
+            err_msg=f"gradient mismatch at {jax.tree_util.keystr(path[0])}")
+
+
+def test_fused_sequence_nll_end_to_end(hp, batch):
+    """seqglow.sequence_nll(use_fused=True) == the XLA path, values and
+    gradients, through the real encoders."""
+    from lets_face_it_tpu.model import seqglow
+
+    hp.Conditioning["p1_face"]["dim"] = 12
+    spec = FlowSpec.build(hp)
+    params = init_seqglow(jax.random.PRNGKey(0), spec)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def nll(params, use_fused):
+        _, loss, _ = seqglow.sequence_nll(spec, params, batch,
+                                          use_fused=use_fused)
+        return loss
+
+    pallas_train.INTERPRET = True
+    try:
+        ref, ref_g = jax.value_and_grad(nll)(params, False)
+        got, got_g = jax.value_and_grad(nll)(params, True)
+    finally:
+        pallas_train.INTERPRET = False
+
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-6)
+    for g_ref, g_got in zip(jax.tree.leaves(ref_g), jax.tree.leaves(got_g)):
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                   atol=2e-5, rtol=1e-4)
