@@ -32,6 +32,18 @@ from lets_face_it_tpu.core import ops
 from lets_face_it_tpu.model.spec import FlowSpec
 
 
+def ambient_matmul_precision() -> jax.lax.Precision:
+    """The Precision matching the ambient ``jax_default_matmul_precision``
+    at trace time, so the in-kernel dots follow the caller's f32/bf16 choice
+    (HIGHEST costs 6 bf16 MXU passes per f32 matmul; DEFAULT costs 1)."""
+    v = jax.config.jax_default_matmul_precision
+    if v in ("highest", "float32"):
+        return jax.lax.Precision.HIGHEST
+    if v in ("high", "bfloat16_3x", "tensorfloat32"):
+        return jax.lax.Precision.HIGH
+    return jax.lax.Precision.DEFAULT
+
+
 class SamplingWeights(NamedTuple):
     """Flow weights prepared for the fused reverse kernel."""
     w_ih_t: jnp.ndarray    # [K, Z1+cond, 3H]  (pre-transposed GRU input weights)
@@ -99,7 +111,7 @@ def prepare_sampling_weights(spec: FlowSpec, flow_params) -> SamplingWeights:
     )
 
 
-def _kernel(spec: FlowSpec,
+def _kernel(spec: FlowSpec, precision,
             z_ref, cond_ref, states_ref,            # VMEM inputs
             w_ih_hbm,                               # HBM (streamed)
             w_hh_ref, b_ih_ref, b_hh_ref,
@@ -142,10 +154,10 @@ def _kernel(spec: FlowSpec,
                 axis=-1)
 
         gi = jnp.dot(rnn_in, w_buf[slot], preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST) + b_ih_ref[k]
+                     precision=precision) + b_ih_ref[k]
         h_prev = states_ref[k]
         gh = jnp.dot(h_prev, w_hh_ref[k], preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST) + b_hh_ref[k]
+                     precision=precision) + b_hh_ref[k]
         hdim = h_prev.shape[-1]
         r = jax.nn.sigmoid(gi[:, :hdim] + gh[:, :hdim])
         zz = jax.nn.sigmoid(gi[:, hdim:2 * hdim] + gh[:, hdim:2 * hdim])
@@ -154,7 +166,7 @@ def _kernel(spec: FlowSpec,
         states_out_ref[k] = h_new
 
         hout = jnp.dot(h_new, out_w_ref[k], preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST) + out_b_ref[k]
+                       precision=precision) + out_b_ref[k]
         shift = hout[:, :half]
         scale = jnp.maximum(jax.nn.sigmoid(hout[:, half:] + 2.0),
                             spec.scale_eps)
@@ -162,22 +174,24 @@ def _kernel(spec: FlowSpec,
         z = jnp.concatenate([z1, z2], axis=-1)
 
         z = jnp.dot(z, w_inv_ref[k], preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=precision)
         z = z * an_neg_ref[k] - an_bias_ref[k]
         return z
 
     x_out_ref[:] = jax.lax.fori_loop(0, k_steps, body, z)
 
 
-@partial(jax.jit, static_argnames=("spec", "interpret"))
+@partial(jax.jit, static_argnames=("spec", "interpret", "precision"))
 def frame_rev_fused(spec: FlowSpec, weights: SamplingWeights, z, cond_projs,
-                    states, *, interpret: bool = False):
+                    states, *, interpret: bool = False, precision=None):
     """Fused reverse frame step: z [B, C], cond_projs [K, B, cond],
     states [K, B, H] -> (x [B, C], new_states)."""
     b, c = z.shape
     k, _, h3 = weights.w_ih_t.shape[0], None, weights.w_ih_t.shape[2]
 
-    kernel = partial(_kernel, spec)
+    if precision is None:
+        precision = ambient_matmul_precision()
+    kernel = partial(_kernel, spec, precision)
     x, new_states = pl.pallas_call(
         kernel,
         out_shape=(

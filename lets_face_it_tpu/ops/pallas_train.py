@@ -63,9 +63,11 @@ ENABLED = True
 # sequential (frame x step) kernel iterations — the serial chain is the cost —
 # at the price of VMEM working set (see _VMEM_LIMIT). Swept on a v5e at b256
 # in tools/fused_train_probe.py: (128,64) 1.10x, (256,128) 1.12x, (256,256)
-# 1.12x over the XLA path; module-level so probes can re-sweep.
+# 1.12x over the XLA path. BT_BWD stays at 128: the backward kernel at tile
+# 256 needs 48.8 MiB of scoped VMEM, which only fits while the batch-tile
+# grid dim is 1 (it blew the limit at b512/b1024); 128 measured identically.
 BT_FWD = 256
-BT_BWD = 256
+BT_BWD = 128
 
 
 def _round_up(x: int, m: int) -> int:
@@ -161,7 +163,7 @@ def logdet_const(spec: FlowSpec, flow_params) -> jnp.ndarray:
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(spec: FlowSpec,
+def _fwd_kernel(spec: FlowSpec, precision,
                 xs_ref, states0_ref,                  # VMEM blocks
                 cond_hbm, w_ih_hbm,                   # streamed
                 w_ref, an_bias_ref, an_scale_ref,
@@ -209,7 +211,7 @@ def _fwd_kernel(spec: FlowSpec,
         zs_out[0, k] = z                                   # residual
         za = (z + an_bias_ref[k]) * an_scale_ref[k]
         zb = jnp.dot(za, w_ref[k], preferred_element_type=jnp.float32,
-                     precision=_HI)
+                     precision=precision)
         z1 = zb[:, :z1d]
         z2 = zb[:, z1d:]
 
@@ -221,10 +223,10 @@ def _fwd_kernel(spec: FlowSpec,
                 [rnn_in, jnp.zeros((bt, in_pad), rnn_in.dtype)], axis=-1)
 
         gi = jnp.dot(rnn_in, w_buf[slot], preferred_element_type=jnp.float32,
-                     precision=_HI) + b_ih_ref[k]
+                     precision=precision) + b_ih_ref[k]
         h_prev = states_scr[k]
         gh = jnp.dot(h_prev, w_hh_ref[k], preferred_element_type=jnp.float32,
-                     precision=_HI) + b_hh_ref[k]
+                     precision=precision) + b_hh_ref[k]
         r = jax.nn.sigmoid(gi[:, :hdim] + gh[:, :hdim])
         u = jax.nn.sigmoid(gi[:, hdim:2 * hdim] + gh[:, hdim:2 * hdim])
         n = jnp.tanh(gi[:, 2 * hdim:] + r * gh[:, 2 * hdim:])
@@ -233,7 +235,7 @@ def _fwd_kernel(spec: FlowSpec,
         st_out[0, k] = h_new                               # residual
 
         hout = jnp.dot(h_new, out_w_ref[k], preferred_element_type=jnp.float32,
-                       precision=_HI) + out_b_ref[k]
+                       precision=precision) + out_b_ref[k]
         shift = hout[:, :half]
         scale = jnp.maximum(jax.nn.sigmoid(hout[:, half:] + 2.0),
                             spec.scale_eps)
@@ -244,7 +246,7 @@ def _fwd_kernel(spec: FlowSpec,
     z_out[0] = jax.lax.fori_loop(0, k_steps, body, xs_ref[0])
 
 
-def _seq_fwd_call(spec: FlowSpec, bt: int, interpret: bool,
+def _seq_fwd_call(spec: FlowSpec, bt: int, interpret: bool, precision,
                   tw: TrainWeights, xs, cond_seq, states0):
     n, b, c = xs.shape
     k = spec.n_steps
@@ -254,7 +256,7 @@ def _seq_fwd_call(spec: FlowSpec, bt: int, interpret: bool,
     assert b % bt == 0, (b, bt)
     grid = (b // bt, n)
 
-    kernel = partial(_fwd_kernel, spec)
+    kernel = partial(_fwd_kernel, spec, precision)
     z_seq, scales_seq, zs_res, states_res = pl.pallas_call(
         kernel,
         grid=grid,
@@ -309,7 +311,7 @@ def _seq_fwd_call(spec: FlowSpec, bt: int, interpret: bool,
 # Backward kernel (serial chains only; weight grads are einsums outside)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(spec: FlowSpec, nframes: int,
+def _bwd_kernel(spec: FlowSpec, nframes: int, precision,
                 dz_ref, dscales_ref, zs_ref, hprev_ref, dnew_states_ref,
                 cond_hbm, w_ih_hbm,
                 w_ref, an_bias_ref, an_scale_ref,
@@ -361,7 +363,7 @@ def _bwd_kernel(spec: FlowSpec, nframes: int,
         z_in = zs_ref[0, k]
         za = (z_in + an_bias_ref[k]) * an_scale_ref[k]
         zb = jnp.dot(za, w_ref[k], preferred_element_type=jnp.float32,
-                     precision=_HI)
+                     precision=precision)
         z2 = zb[:, z1d:]
         cond_t = jax.nn.leaky_relu(cond_buf[slot], 0.01)
         rnn_in = jnp.concatenate([zb[:, :z1d], cond_t], axis=-1)
@@ -370,16 +372,16 @@ def _bwd_kernel(spec: FlowSpec, nframes: int,
             rnn_in = jnp.concatenate(
                 [rnn_in, jnp.zeros((bt, in_pad), rnn_in.dtype)], axis=-1)
         gi = jnp.dot(rnn_in, w_buf[slot], preferred_element_type=jnp.float32,
-                     precision=_HI) + b_ih_ref[k]
+                     precision=precision) + b_ih_ref[k]
         h_prev = hprev_ref[0, k]
         gh = jnp.dot(h_prev, w_hh_ref[k], preferred_element_type=jnp.float32,
-                     precision=_HI) + b_hh_ref[k]
+                     precision=precision) + b_hh_ref[k]
         r = jax.nn.sigmoid(gi[:, :hdim] + gh[:, :hdim])
         u = jax.nn.sigmoid(gi[:, hdim:2 * hdim] + gh[:, hdim:2 * hdim])
         n = jnp.tanh(gi[:, 2 * hdim:] + r * gh[:, 2 * hdim:])
         h_new = (1.0 - u) * n + u * h_prev
         hout = jnp.dot(h_new, out_w_ref[k], preferred_element_type=jnp.float32,
-                       precision=_HI) + out_b_ref[k]
+                       precision=precision) + out_b_ref[k]
         shift = hout[:, :half]
         sig = jax.nn.sigmoid(hout[:, half:] + 2.0)
         scale = jnp.maximum(sig, spec.scale_eps)
@@ -397,7 +399,7 @@ def _bwd_kernel(spec: FlowSpec, nframes: int,
 
         dh_new = jax.lax.dot_general(
             dhout, out_w_ref[k], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI)
+            preferred_element_type=jnp.float32, precision=precision)
         dh_new = dh_new + dstates_scr[k]
 
         du = dh_new * (h_prev - n)
@@ -415,20 +417,20 @@ def _bwd_kernel(spec: FlowSpec, nframes: int,
 
         dh_prev = dh_prev + jax.lax.dot_general(
             dgh, w_hh_ref[k], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI)
+            preferred_element_type=jnp.float32, precision=precision)
         dstates_scr[k] = dh_prev
 
         # z1 feeds both the passthrough and the coupling net input
         dz1_rnn = jax.lax.dot_general(
             dgi, w_buf[slot][:z1up, :], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI)
+            preferred_element_type=jnp.float32, precision=precision)
         dz1 = dz1 + dz1_rnn[:, :z1d]
 
         dzb = jnp.concatenate([dz1, dz2], axis=-1)
         dzb_out[0, k] = dzb
         dza = jax.lax.dot_general(
             dzb, w_ref[k], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI)
+            preferred_element_type=jnp.float32, precision=precision)
         return dza * an_scale_ref[k]
 
     dx_out[0] = jax.lax.fori_loop(0, k_steps, body, dz_ref[0])
@@ -438,7 +440,7 @@ def _bwd_kernel(spec: FlowSpec, nframes: int,
         dstates0_out[:] = dstates_scr[:]
 
 
-def _seq_bwd_call(spec: FlowSpec, bt: int, interpret: bool,
+def _seq_bwd_call(spec: FlowSpec, bt: int, interpret: bool, precision,
                   tw: TrainWeights, cond_seq, zs_res, hprev_all,
                   dz_seq, dscales_seq, dnew_states):
     n, b, c = dz_seq.shape
@@ -457,7 +459,7 @@ def _seq_bwd_call(spec: FlowSpec, bt: int, interpret: bool,
     def rev4(ib, it):
         return (n - 1 - it, 0, ib, 0)
 
-    kernel = partial(_bwd_kernel, spec, n)
+    kernel = partial(_bwd_kernel, spec, n, precision)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -516,23 +518,24 @@ def _seq_bwd_call(spec: FlowSpec, bt: int, interpret: bool,
 # custom_vjp wiring
 # ---------------------------------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
 def _flow_seq_fused(spec: FlowSpec, bt_fwd: int, bt_bwd: int, interpret: bool,
-                    tw: TrainWeights, xs, cond_seq, states0):
-    out, _ = _flow_seq_fwd(spec, bt_fwd, bt_bwd, interpret, tw, xs, cond_seq,
-                           states0)
+                    precision, tw: TrainWeights, xs, cond_seq, states0):
+    out, _ = _flow_seq_fwd(spec, bt_fwd, bt_bwd, interpret, precision, tw,
+                           xs, cond_seq, states0)
     return out
 
 
-def _flow_seq_fwd(spec, bt_fwd, bt_bwd, interpret, tw, xs, cond_seq, states0):
+def _flow_seq_fwd(spec, bt_fwd, bt_bwd, interpret, precision, tw, xs,
+                  cond_seq, states0):
     z_seq, scales_seq, zs_res, states_res = _seq_fwd_call(
-        spec, bt_fwd, interpret, tw, xs, cond_seq, states0)
+        spec, bt_fwd, interpret, precision, tw, xs, cond_seq, states0)
     new_states = states_res[-1]
     return ((z_seq, scales_seq, new_states),
             (tw, cond_seq, states0, zs_res, states_res))
 
 
-def _flow_seq_bwd(spec, bt_fwd, bt_bwd, interpret, res, cot):
+def _flow_seq_bwd(spec, bt_fwd, bt_bwd, interpret, precision, res, cot):
     tw, cond_seq, states0, zs_res, states_res = res
     dz_seq, dscales_seq, dnew_states = cot
     z1d = spec.z1_dim
@@ -541,11 +544,11 @@ def _flow_seq_bwd(spec, bt_fwd, bt_bwd, interpret, res, cot):
 
     hprev_all = jnp.concatenate([states0[None], states_res[:-1]], axis=0)
     dx, dstates0, dgi, dghn, dhout, dzb = _seq_bwd_call(
-        spec, bt_bwd, interpret, tw, cond_seq, zs_res, hprev_all,
+        spec, bt_bwd, interpret, precision, tw, cond_seq, zs_res, hprev_all,
         dz_seq, dscales_seq, dnew_states)
 
     # ---- weight gradients: large MXU contractions over (frames x batch)
-    ein = partial(jnp.einsum, precision=_HI)
+    ein = partial(jnp.einsum, precision=precision)
     za = (zs_res + tw.an_bias[None, :, None, :]) * tw.an_scale[None, :, None, :]
     zb = ein("nkbc,kcd->nkbd", za, tw.w)
     z1 = zb[..., :z1d]
@@ -592,7 +595,7 @@ _flow_seq_fused.defvjp(_flow_seq_fwd, _flow_seq_bwd)
 
 def flow_sequence_fused(spec: FlowSpec, flow_params, xs, cond_seq, states0, *,
                         bt_fwd: int | None = None, bt_bwd: int | None = None,
-                        interpret: bool | None = None):
+                        interpret: bool | None = None, precision=None):
     """Fused teacher-forced flow traversal over a whole sequence.
 
     xs: [N, B, C] frames; cond_seq: [N, K, B, cond_dim] pre-projected
@@ -608,9 +611,14 @@ def flow_sequence_fused(spec: FlowSpec, flow_params, xs, cond_seq, states0, *,
         bt_fwd = BT_FWD
     if bt_bwd is None:
         bt_bwd = BT_BWD
+    if precision is None:
+        from lets_face_it_tpu.ops.pallas_flow import ambient_matmul_precision
+
+        precision = ambient_matmul_precision()
     tw = prepare_train_weights(spec, flow_params)
     z_seq, scales_seq, new_states = _flow_seq_fused(
-        spec, bt_fwd, bt_bwd, bool(interpret), tw, xs, cond_seq, states0)
+        spec, bt_fwd, bt_bwd, bool(interpret), precision, tw, xs, cond_seq,
+        states0)
     logdet = (jnp.sum(jnp.log(scales_seq), axis=(1, 3))
               + logdet_const(spec, flow_params))
     return z_seq, logdet, new_states, scales_seq

@@ -146,3 +146,28 @@ def test_fused_sequence_nll_end_to_end(hp, batch):
     for g_ref, g_got in zip(jax.tree.leaves(ref_g), jax.tree.leaves(got_g)):
         np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_ambient_precision_mapping_and_default_path():
+    """The in-kernel dot precision follows the ambient matmul-precision
+    config (bf16 production mode uses single-pass MXU dots); on CPU the
+    numerical result is unchanged, so the DEFAULT-precision code path must
+    still match exactly in interpret mode."""
+    from lets_face_it_tpu.ops.pallas_flow import ambient_matmul_precision
+
+    with jax.default_matmul_precision("highest"):
+        assert ambient_matmul_precision() == jax.lax.Precision.HIGHEST
+    with jax.default_matmul_precision("default"):
+        assert ambient_matmul_precision() == jax.lax.Precision.DEFAULT
+
+    spec = _spec()
+    pflow = _nonzero_params(spec)
+    xs, cond_seq, states0 = _inputs(spec, n=3, b=2)
+    z_ref, ld_ref, _, _ = _xla_reference(spec, pflow, xs, cond_seq, states0)
+    z_got, ld_got, _, _ = pallas_train.flow_sequence_fused(
+        spec, pflow, xs, cond_seq, states0, bt_fwd=2, bt_bwd=2,
+        interpret=True, precision=jax.lax.Precision.DEFAULT)
+    np.testing.assert_allclose(np.asarray(z_got), np.asarray(z_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld_got), np.asarray(ld_ref),
+                               atol=1e-4, rtol=1e-5)

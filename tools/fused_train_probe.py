@@ -118,6 +118,19 @@ def main():
               f"windows/s={bsz/dt:8.1f} compile={compile_s:.0f}s "
               f"speedup={base/dt:.2f}x", flush=True)
 
+    print(f"— bf16-matmul (production) path b{bsz} T{seq_len} —", flush=True)
+    pallas_train.BT_FWD, pallas_train.BT_BWD = 256, 128
+    with jax.default_matmul_precision("default"):
+        pallas_train.ENABLED = False
+        base16, _ = time_step(hp, spec, optimizer, batch, iters)
+        print(f"xla bf16:   step={base16*1e3:8.1f} ms "
+              f"windows/s={bsz/base16:8.1f}", flush=True)
+        pallas_train.ENABLED = True
+        dt16, _ = time_step(hp, spec, optimizer, batch, iters)
+        print(f"fused bf16: step={dt16*1e3:8.1f} ms "
+              f"windows/s={bsz/dt16:8.1f} speedup={base16/dt16:.2f}x",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()
