@@ -122,7 +122,8 @@ def sequence_nll(spec: FlowSpec, params: SeqGlowParams, batch, *, rng=None,
 
 def sequence_sample(spec: FlowSpec, params: SeqGlowParams, data, seq_len: int,
                     *, eps_std: float = 1.0, rng, z_seq=None,
-                    use_fused: bool | None = None):
+                    use_fused: bool | None = None,
+                    use_seq_fused: bool | None = None):
     """Autoregressive generation (models.py:567-596).
 
     ``data`` seeds the own-face history (``p1_face[:, :start]``) and provides
@@ -133,7 +134,10 @@ def sequence_sample(spec: FlowSpec, params: SeqGlowParams, data, seq_len: int,
 
     ``use_fused``: run the frame step as the fused Pallas TPU kernel
     (ops/pallas_flow.py) — ~4-5x faster than the XLA path; auto-enabled on
-    TPU when the flow configuration supports it.
+    TPU when the flow configuration supports it. ``use_seq_fused``: go
+    further and run the ENTIRE autoregressive loop as one kernel
+    (``sequence_rev_fused``: ring buffer + GRU states in VMEM scratch);
+    auto-enabled when the own-face conditioning is absent or 'none'-encoded.
     """
     x_seed = data["p1_face"]
     b = x_seed.shape[0]
@@ -180,6 +184,30 @@ def sequence_sample(spec: FlowSpec, params: SeqGlowParams, data, seq_len: int,
         from lets_face_it_tpu.ops import pallas_flow
 
         fused_weights = pallas_flow.prepare_sampling_weights(spec, params.flow)
+
+    if use_seq_fused is None:
+        from lets_face_it_tpu.ops import pallas_flow
+
+        use_seq_fused = (bool(use_fused)
+                         and pallas_flow.sampling_seq_supported(spec)
+                         and (b <= 128 or b % 128 == 0))
+    if use_seq_fused:
+        from lets_face_it_tpu.ops import pallas_flow
+
+        if fused_weights is None:
+            fused_weights = pallas_flow.prepare_sampling_weights(
+                spec, params.flow)
+        if p1_dim > 0:
+            hist0 = face_hist0.reshape(b, p1_dim)
+            w_p1_t = jnp.swapaxes(w_p1, 1, 2)
+        else:
+            hist0 = jnp.zeros((b, 8), x_seed.dtype)
+            w_p1_t = jnp.zeros((spec.n_steps, 8, spec.cond.cond_dim),
+                               x_seed.dtype)
+        xs = pallas_flow.sequence_rev_fused(
+            spec, fused_weights, w_p1_t, zs, fixed_projs, hist0, states0,
+            interpret=pallas_flow.INTERPRET)
+        return jnp.moveaxis(xs, 0, 1)
 
     def step(carry, inp):
         face_hist, states = carry
@@ -242,5 +270,6 @@ sequence_nll_jit = jax.jit(
     static_argnames=("spec", "training", "collect_scales", "use_fused"))
 sequence_sample_jit = jax.jit(
     sequence_sample,
-    static_argnames=("spec", "seq_len", "eps_std", "use_fused"))
+    static_argnames=("spec", "seq_len", "eps_std", "use_fused",
+                     "use_seq_fused"))
 sequence_invert_jit = jax.jit(sequence_invert, static_argnames=("spec",))

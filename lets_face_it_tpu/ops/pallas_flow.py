@@ -237,3 +237,178 @@ def pallas_supported(spec: FlowSpec) -> bool:
             and spec.channels % 2 == 0
             and (3 * spec.hidden_channels) % 128 == 0
             and spec.cond.cond_dim % 128 == 0)
+
+
+# ---------------------------------------------------------------------------
+# Whole-sequence fused sampling: the ENTIRE autoregressive generation loop
+# (N frames x K reversed steps) as one kernel
+# ---------------------------------------------------------------------------
+
+# Tests flip this to exercise the sequence kernel on CPU (interpret mode).
+INTERPRET = False
+
+# v5e has 128 MiB physical VMEM; the resident own-face projection slice
+# w_p1 (9.2 MB on the final model) plus the streamed buffers exceed the
+# 16 MiB Mosaic default.
+_SEQ_VMEM_LIMIT = 48 * 1024 * 1024
+
+
+def sampling_seq_supported(spec: FlowSpec) -> bool:
+    """Envelope of the whole-sequence kernel: the frame kernel's envelope
+    plus an own-face conditioning that is either absent or the final model's
+    'none' encoder (a flat window the kernel maintains as a ring buffer;
+    rnn own-face encoders keep the per-frame kernel + XLA scan)."""
+    p1 = spec.cond.p1_face
+    p1_ok = p1.out_dim == 0 or (p1.enc == "none" and p1.out_dim % 8 == 0)
+    return pallas_supported(spec) and p1_ok
+
+
+def _seq_rev_kernel(spec: FlowSpec, precision, p1_dim: int,
+                    zs_ref, hist0_ref, states0_ref, fixed_ref,
+                    w_ih_ref, w_p1_ref,
+                    w_hh_ref, b_ih_ref, b_hh_ref,
+                    out_w_ref, out_b_ref, w_inv_ref,
+                    an_bias_ref, an_neg_ref,
+                    xs_out,                             # output blocks
+                    states_scr, hist_scr):
+    """No DMA: the raised VMEM budget (v5e: 128 MiB physical) keeps ALL
+    weights resident — incl. the 13.4 MB GRU input stack that the per-frame
+    kernel streams once per frame (1.3 GB/call at batch 1, the measured
+    bottleneck there) — and the per-frame conditioning arrives as a
+    pipelined input block."""
+    k_steps = spec.n_steps
+    z1d = spec.z1_dim
+    c = spec.channels
+    half = spec.coupling_out_dim // 2
+    bt = zs_ref.shape[1]
+
+    it = pl.program_id(1)
+
+    @pl.when(it == 0)
+    def _():
+        states_scr[:] = states0_ref[:]
+        if p1_dim:
+            hist_scr[:] = hist0_ref[:]
+
+    if p1_dim:
+        p1 = hist_scr[:]                               # constant this frame
+
+    def body(i, z):
+        k = k_steps - 1 - i
+
+        proj = fixed_ref[0, k]
+        if p1_dim:
+            proj = proj + jnp.dot(p1, w_p1_ref[k],
+                                  preferred_element_type=jnp.float32,
+                                  precision=precision)
+        z1 = z[:, :z1d]
+        z2 = z[:, z1d:]
+        cond_t = jax.nn.leaky_relu(proj, 0.01)
+        rnn_in = jnp.concatenate([z1, cond_t], axis=-1)
+        in_pad = w_ih_ref.shape[1] - rnn_in.shape[-1]
+        if in_pad:
+            rnn_in = jnp.concatenate(
+                [rnn_in, jnp.zeros((bt, in_pad), rnn_in.dtype)], axis=-1)
+
+        gi = jnp.dot(rnn_in, w_ih_ref[k], preferred_element_type=jnp.float32,
+                     precision=precision) + b_ih_ref[k]
+        h_prev = states_scr[k]
+        gh = jnp.dot(h_prev, w_hh_ref[k], preferred_element_type=jnp.float32,
+                     precision=precision) + b_hh_ref[k]
+        hdim = h_prev.shape[-1]
+        r = jax.nn.sigmoid(gi[:, :hdim] + gh[:, :hdim])
+        zz = jax.nn.sigmoid(gi[:, hdim:2 * hdim] + gh[:, hdim:2 * hdim])
+        n = jnp.tanh(gi[:, 2 * hdim:] + r * gh[:, 2 * hdim:])
+        h_new = (1.0 - zz) * n + zz * h_prev
+        states_scr[k] = h_new
+
+        hout = jnp.dot(h_new, out_w_ref[k], preferred_element_type=jnp.float32,
+                       precision=precision) + out_b_ref[k]
+        shift = hout[:, :half]
+        scale = jnp.maximum(jax.nn.sigmoid(hout[:, half:] + 2.0),
+                            spec.scale_eps)
+        z2 = z2 / scale - shift
+        z = jnp.concatenate([z1, z2], axis=-1)
+        z = jnp.dot(z, w_inv_ref[k], preferred_element_type=jnp.float32,
+                    precision=precision)
+        return z * an_neg_ref[k] - an_bias_ref[k]
+
+    x = jax.lax.fori_loop(0, k_steps, body, zs_ref[0])
+    xs_out[0] = x
+
+    if p1_dim:
+        # autoregressive ring buffer: drop the oldest frame, append x
+        flat = hist_scr[:]
+        if p1_dim > c:
+            hist_scr[:, : p1_dim - c] = flat[:, c:]
+        hist_scr[:, p1_dim - c:] = x
+
+
+@partial(jax.jit, static_argnames=("spec", "interpret", "precision", "bt"))
+def sequence_rev_fused(spec: FlowSpec, weights: SamplingWeights, w_p1_t,
+                       zs, fixed_projs, hist0, states0, *,
+                       bt: int | None = None, interpret: bool = False,
+                       precision=None):
+    """Generate a whole sequence in one kernel: zs [N, B, C] latents,
+    fixed_projs [N, K, B, cond] (non-autoregressive conditioning slice,
+    ``flow.project_cond_split``), hist0 [B, p1_dim] flattened own-face
+    history window, w_p1_t [K, p1_dim, cond] own-face projection slice,
+    states0 [K, B, H] -> xs [N, B, C].
+
+    The XLA scan this replaces dispatches one fused frame kernel + one
+    projection einsum + a ring-buffer update per frame; here the whole
+    autoregressive loop (face-history ring buffer and GRU states live in
+    VMEM scratch across grid steps) runs without leaving the kernel.
+    """
+    n, b, c = zs.shape
+    k = spec.n_steps
+    h = weights.w_hh_t.shape[1]
+    if precision is None:
+        precision = ambient_matmul_precision()
+    if bt is None:
+        bt = min(b, 128)
+    assert b % bt == 0, (b, bt)
+    p1_dim = spec.cond.p1_face.out_dim
+    p1w = hist0.shape[-1]
+    grid = (b // bt, n)
+
+    kernel = partial(_seq_rev_kernel, spec, precision, p1_dim)
+    xs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((n, b, c), zs.dtype),
+        in_specs=[
+            pl.BlockSpec((1, bt, c), lambda ib, it: (it, ib, 0),
+                         memory_space=pltpu.VMEM),             # zs
+            pl.BlockSpec((bt, p1w), lambda ib, it: (ib, 0),
+                         memory_space=pltpu.VMEM),             # hist0
+            pl.BlockSpec((k, bt, h), lambda ib, it: (0, ib, 0),
+                         memory_space=pltpu.VMEM),             # states0
+            pl.BlockSpec((1, k, bt, spec.cond.cond_dim),
+                         lambda ib, it: (it, 0, ib, 0),
+                         memory_space=pltpu.VMEM),             # fixed_projs
+            pl.BlockSpec(memory_space=pltpu.VMEM),             # w_ih
+            pl.BlockSpec(memory_space=pltpu.VMEM),             # w_p1
+            pl.BlockSpec(memory_space=pltpu.VMEM),             # w_hh
+            pl.BlockSpec(memory_space=pltpu.VMEM),             # b_ih
+            pl.BlockSpec(memory_space=pltpu.VMEM),             # b_hh
+            pl.BlockSpec(memory_space=pltpu.VMEM),             # out_w
+            pl.BlockSpec(memory_space=pltpu.VMEM),             # out_b
+            pl.BlockSpec(memory_space=pltpu.VMEM),             # w_inv
+            pl.BlockSpec(memory_space=pltpu.VMEM),             # an_bias
+            pl.BlockSpec(memory_space=pltpu.VMEM),             # an_neg
+        ],
+        out_specs=pl.BlockSpec((1, bt, c), lambda ib, it: (it, ib, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((k, bt, h), jnp.float32),
+            pltpu.VMEM((bt, p1w), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SEQ_VMEM_LIMIT),
+        interpret=interpret,
+    )(zs, hist0, states0, fixed_projs, weights.w_ih_t, w_p1_t,
+      weights.w_hh_t, weights.b_ih, weights.b_hh, weights.out_w_t,
+      weights.out_b, weights.w_inv, weights.an_bias,
+      weights.an_neg_logs_exp)
+    return xs

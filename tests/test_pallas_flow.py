@@ -69,3 +69,39 @@ def test_fused_roundtrip_forward_reverse():
     x_back, _ = pallas_flow.frame_rev_fused(spec, weights, z, cond_projs,
                                             states, interpret=True)
     np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-4)
+
+
+def test_seq_fused_sampling_matches_xla():
+    """The whole-sequence sampling kernel (ring buffer + GRU states in VMEM
+    scratch) generates the same frames as the XLA autoregressive scan."""
+    import jax.numpy as jnp
+
+    from lets_face_it_tpu.model import seqglow
+
+    spec = _final_like_spec()        # p1_face enc 'none' -> seq envelope
+    params = init_seqglow(jax.random.PRNGKey(0), spec)
+    pflow = jax.tree.map(
+        lambda x, m: x + 0.05 * jax.random.normal(jax.random.PRNGKey(9), x.shape)
+        if m else x, params.flow, flow.trainable_mask(params.flow))
+    params = params._replace(flow=pflow)
+
+    from conftest import random_batch, tiny_hparams
+    hp = tiny_hparams()
+    hp.Conditioning["p1_face"]["dim"] = 12
+    seq_len = 12
+    data = {k: jnp.asarray(v) for k, v in
+            random_batch(hp, batch_size=3, seq_len=seq_len).items()}
+
+    rng = jax.random.PRNGKey(5)
+    ref = seqglow.sequence_sample(spec, params, data, seq_len, eps_std=1.0,
+                                  rng=rng, use_fused=False,
+                                  use_seq_fused=False)
+    pallas_flow.INTERPRET = True
+    try:
+        got = seqglow.sequence_sample(spec, params, data, seq_len,
+                                      eps_std=1.0, rng=rng, use_fused=False,
+                                      use_seq_fused=True)
+    finally:
+        pallas_flow.INTERPRET = False
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)

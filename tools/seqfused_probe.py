@@ -1,0 +1,84 @@
+"""A/B the whole-sequence fused sampling kernel vs the per-frame-fused XLA
+scan, on the attached accelerator (difference-method timing from bench.py).
+
+Usage: python tools/seqfused_probe.py [b1 b2 ...]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_default_matmul_precision", "highest")
+sys.path.insert(0, ".")
+
+from bench import _hard_sync, build_full_model  # noqa: E402
+from __graft_entry__ import _example_batch  # noqa: E402
+
+
+def bench_mode(hp, spec, params, batch_size, use_seq, gen_frames=100,
+               iters=5):
+    from lets_face_it_tpu.model import seqglow
+
+    start = spec.cond.longest_history
+    seq_len = start + gen_frames
+    data = {k: jnp.asarray(v) for k, v in
+            _example_batch(hp, batch_size, seq_len).items()}
+
+    @jax.jit
+    def sample(params, data, rng):
+        return seqglow.sequence_sample(spec, params, data, seq_len,
+                                       eps_std=hp.Infer["eps"], rng=rng,
+                                       use_seq_fused=use_seq)
+
+    keys = list(jax.random.split(jax.random.PRNGKey(1), 3 * iters))
+    _hard_sync(sample(params, data, keys[0]))
+
+    def timed(ks):
+        t0 = time.perf_counter()
+        out = None
+        for k in ks:
+            out = sample(params, data, k)
+        _hard_sync(out)
+        return time.perf_counter() - t0
+
+    t_short = timed(keys[:iters])
+    t_long = timed(keys[iters:])
+    dt = max(t_long - t_short, 1e-9) / iters
+    return batch_size * gen_frames / dt, dt
+
+
+def check_equal(hp, spec, params, batch_size=8, gen_frames=30):
+    from lets_face_it_tpu.model import seqglow
+    import numpy as np
+
+    start = spec.cond.longest_history
+    seq_len = start + gen_frames
+    data = {k: jnp.asarray(v) for k, v in
+            _example_batch(hp, batch_size, seq_len).items()}
+    rng = jax.random.PRNGKey(3)
+    a = seqglow.sequence_sample_jit(spec, params, data, seq_len, eps_std=1.0,
+                                    rng=rng, use_seq_fused=False)
+    b = seqglow.sequence_sample_jit(spec, params, data, seq_len, eps_std=1.0,
+                                    rng=rng, use_seq_fused=True)
+    err = float(np.abs(np.asarray(a) - np.asarray(b)).max())
+    print(f"compiled equality (b{batch_size}, {gen_frames} frames): "
+          f"max abs diff {err:.2e}", flush=True)
+    assert err < 5e-3, err
+
+
+if __name__ == "__main__":
+    sizes = [int(a) for a in sys.argv[1:]] or [1, 128, 256]
+    hp, spec, params = build_full_model()
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind}", flush=True)
+    check_equal(hp, spec, params)
+    for prec in ("highest", "default"):
+        with jax.default_matmul_precision(prec):
+            for b in sizes:
+                f_frame, _ = bench_mode(hp, spec, params, b, use_seq=False)
+                f_seq, _ = bench_mode(hp, spec, params, b, use_seq=True)
+                print(f"{prec:8s} b={b:5d}: frame-fused {f_frame:10.1f} f/s"
+                      f" | seq-fused {f_seq:10.1f} f/s"
+                      f" | {f_seq/f_frame:.2f}x", flush=True)
