@@ -164,9 +164,10 @@ def main():
 
     parity = nll_parity_check(hp, spec, params)
     fps_b1, _ = bench_sampling(hp, spec, params, batch_size=1)
-    # B=256 is the measured per-chip sampling throughput peak
-    # (tools/sampling_probe.py: 369k/393k/388k/392k f/s at B=128/256/512/1024)
-    fps_batch, _ = bench_sampling(hp, spec, params, batch_size=256)
+    # B=128 is the measured per-chip sampling peak with the whole-sequence
+    # fused kernel (tools/sampling_probe.py r2: 432k/462k/437k/401k f/s at
+    # B=64/128/256/512 f32-highest; same shape at bf16)
+    fps_batch, _ = bench_sampling(hp, spec, params, batch_size=128)
     train_sps, train_dt = bench_training(hp, spec, params)
     sps_1024, _ = bench_training(hp, spec, params, batch_size=1024, iters=2)
     batch_table = (bench_batch_scaling(hp, spec, params) if scaling else None)
@@ -175,7 +176,7 @@ def main():
     with jax.default_matmul_precision("default"):
         train_sps_fast, _ = bench_training(hp, spec, params)
         fps_b1_fast, _ = bench_sampling(hp, spec, params, batch_size=1)
-        fps_batch_fast, _ = bench_sampling(hp, spec, params, batch_size=256)
+        fps_batch_fast, _ = bench_sampling(hp, spec, params, batch_size=128)
 
     target = REALTIME_FPS * TARGET_REALTIME_FACTOR
     result = {

@@ -48,8 +48,6 @@ from jax.experimental.pallas import tpu as pltpu
 from lets_face_it_tpu.core import ops
 from lets_face_it_tpu.model.spec import FlowSpec
 
-_HI = jax.lax.Precision.HIGHEST
-
 # v5e has 128 MiB of physical VMEM; the Mosaic default scoped limit (16 MiB)
 # is too small for the backward kernel's working set at batch-tile 64.
 _VMEM_LIMIT = 48 * 1024 * 1024
