@@ -143,22 +143,29 @@ def stage_openface(sessions, fps):
 
 def _flame_assets():
     """(FlameModel, LandmarkEmbedding) from config.toml's [flame] paths, or
-    None with a log line when the official assets aren't installed."""
-    from lets_face_it_tpu.config import CONFIG
-    from lets_face_it_tpu.features import flame_fit
-    from lets_face_it_tpu.render.flame import load_flame
+    None with a log line when the official assets aren't installed or fail
+    to load — the multi-stage pipeline must keep going (reference stages are
+    independently resumable)."""
+    try:
+        from lets_face_it_tpu.config import CONFIG
+        from lets_face_it_tpu.features import flame_fit
+        from lets_face_it_tpu.render.flame import load_flame
 
-    flame_cfg = CONFIG.get("flame", {})
-    model_path = flame_cfg.get("model_path_generic")
-    emb_path = flame_cfg.get("static_landmark_embedding_path")
-    if (not model_path or not Path(model_path).exists()
-            or not emb_path or not Path(emb_path).exists()):
-        log("flame assets not found ([flame].model_path_generic / "
-            ".static_landmark_embedding_path in config.toml) — skipping")
+        flame_cfg = CONFIG.get("flame", {})
+        model_path = flame_cfg.get("model_path_generic")
+        emb_path = flame_cfg.get("static_landmark_embedding_path")
+        if (not model_path or not Path(model_path).exists()
+                or not emb_path or not Path(emb_path).exists()):
+            log("flame assets not found ([flame].model_path_generic / "
+                ".static_landmark_embedding_path in config.toml) — skipping")
+            return None
+        model = load_flame(model_path)
+        emb = flame_fit.load_landmark_embedding(emb_path, model.faces)
+        return model, emb
+    except Exception as exc:
+        log(f"flame assets unavailable ({type(exc).__name__}: {exc}) "
+            "— skipping FLAME stages")
         return None
-    model = load_flame(model_path)
-    emb = flame_fit.load_landmark_embedding(emb_path, model.faces)
-    return model, emb
 
 
 def stage_ringnet(sessions, fps):
@@ -175,10 +182,12 @@ def stage_ringnet(sessions, fps):
     for session in sessions:
         for part in ("P1", "P2"):
             part_dir = session / part
-            if not (part_dir / f"openface_{fps}fps.csv").exists():
+            out = part_dir / f"ringnet_{fps}fps.h5"
+            if (out.exists()
+                    or not (part_dir / f"openface_{fps}fps.csv").exists()):
                 continue
-            out = ringnet_lite.extract_ringnet_lite(part_dir, fps,
-                                                    model=model, emb=emb)
+            ringnet_lite.extract_ringnet_lite(part_dir, fps, model=model,
+                                              emb=emb)
             log(f"ringnet(-lite): {out}")
 
 

@@ -38,7 +38,7 @@ from lets_face_it_tpu.features import flame_fit
 
 def estimate_init(model, emb, targets, *, rigid_steps: int = 25,
                   shape_steps: int = 40, shape_frames: int = 32,
-                  shape_dims: int = 100):
+                  shape_dims: int = 100, batch_frames: int = 256):
     """Landmark-driven FLAME init for [N, 51, 2] targets.
 
     Returns a dict: scale [N], trans [N, 3], rot [N, 3], shape [N,
@@ -68,7 +68,12 @@ def estimate_init(model, emb, targets, *, rigid_steps: int = 25,
 
         return jax.vmap(fit_one)(targets)
 
-    rigid, _ = rigid_fit(targets)
+    # chunk the vmapped solve like flame_fit.fit_session_participant — a
+    # real session has tens of thousands of frames, and each L-BFGS step
+    # materialises per-frame FLAME vertex intermediates
+    chunks = [rigid_fit(targets[lo:lo + batch_frames])[0]
+              for lo in range(0, n, batch_frames)]
+    rigid = jax.tree.map(lambda *xs: jnp.concatenate(xs), *chunks)
 
     # shared shape over an even subsample of frames
     idx = np.unique(np.linspace(0, n - 1, min(shape_frames, n)).astype(int))

@@ -84,8 +84,11 @@ def sequence_nll(spec: FlowSpec, params: SeqGlowParams, batch, *, rng=None,
     if use_fused is None:
         from lets_face_it_tpu.ops import pallas_train
 
+        # single-chip only: pallas_call has no GSPMD partitioning rule, so
+        # under a multi-device mesh the sharded-batch XLA path stays on
         use_fused = (pallas_train.train_fused_supported(spec, b)
-                     and jax.default_backend() == "tpu")
+                     and jax.default_backend() == "tpu"
+                     and jax.device_count() == 1)
     if use_fused:
         from lets_face_it_tpu.ops import pallas_train
 
@@ -177,8 +180,10 @@ def sequence_sample(spec: FlowSpec, params: SeqGlowParams, data, seq_len: int,
     if use_fused is None:
         from lets_face_it_tpu.ops import pallas_flow
 
+        # single-chip only, as for the training kernels (no GSPMD rule)
         use_fused = (pallas_flow.pallas_supported(spec)
-                     and jax.default_backend() == "tpu")
+                     and jax.default_backend() == "tpu"
+                     and jax.device_count() == 1)
     fused_weights = None
     if use_fused:
         from lets_face_it_tpu.ops import pallas_flow

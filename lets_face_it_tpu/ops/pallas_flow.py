@@ -44,6 +44,30 @@ def ambient_matmul_precision() -> jax.lax.Precision:
     return jax.lax.Precision.DEFAULT
 
 
+def fold_output_head(out_params, cout: int):
+    """Fold the linear-zeros learned logscale (core/ops.py::linear_zeros,
+    factor 3.0) into weight+bias and permute rows so that ``h @ W^T`` yields
+    ``[shift(0::2) | scale_raw(1::2)]`` as contiguous lane halves — shared by
+    the sampling and training kernel preps so the coupling-head math cannot
+    drift between them."""
+    out_scale = jnp.exp(out_params["logs"] * 3.0)
+    out_w = out_params["w"] * out_scale[..., None]
+    out_b = out_params["b"] * out_scale
+    perm = jnp.concatenate([jnp.arange(0, cout, 2), jnp.arange(1, cout, 2)])
+    return out_w[:, perm, :], out_b[:, perm]
+
+
+def pad_w_ih_t(w_ih):
+    """[K, 3H, in] -> transposed [K, in_pad, 3H] with the sublane dim padded
+    to the (8, 128) f32 tiling; zero rows match zero-padded rnn_in columns
+    exactly."""
+    w_ih_t = jnp.swapaxes(w_ih, 1, 2)
+    pad = (-w_ih_t.shape[1]) % 8
+    if pad:
+        w_ih_t = jnp.pad(w_ih_t, ((0, 0), (0, pad), (0, 0)))
+    return w_ih_t
+
+
 class SamplingWeights(NamedTuple):
     """Flow weights prepared for the fused reverse kernel."""
     w_ih_t: jnp.ndarray    # [K, Z1+cond, 3H]  (pre-transposed GRU input weights)
@@ -79,27 +103,10 @@ def prepare_sampling_weights(spec: FlowSpec, flow_params) -> SamplingWeights:
     with jax.default_matmul_precision("highest"):
         w_inv = jax.vmap(invert_one)(flow_params["perm"])
 
-    # fold the linear-zeros logscale into weight+bias; permute rows so that
-    # h @ W^T yields [shift(0::2) | scale(1::2)] contiguously
-    out_w = flow_params["out"]["w"]                    # [K, Cout, H]
-    out_b = flow_params["out"]["b"]
-    out_scale = jnp.exp(flow_params["out"]["logs"] * 3.0)
-    out_w = out_w * out_scale[..., None]
-    out_b = out_b * out_scale
-    perm = jnp.concatenate([jnp.arange(0, cout, 2), jnp.arange(1, cout, 2)])
-    out_w = out_w[:, perm, :]
-    out_b = out_b[:, perm]
-
-    # pad the streamed weight's sublane dim to the (8, 128) tiling so the
-    # per-step HBM slice is tile-aligned; the matching rnn_in zero-padding is
-    # exact (zero rows contribute nothing)
-    w_ih_t = jnp.swapaxes(flow_params["rnn"]["w_ih"], 1, 2)   # [K, in, 3H]
-    pad = (-w_ih_t.shape[1]) % 8
-    if pad:
-        w_ih_t = jnp.pad(w_ih_t, ((0, 0), (0, pad), (0, 0)))
+    out_w, out_b = fold_output_head(flow_params["out"], cout)
 
     return SamplingWeights(
-        w_ih_t=w_ih_t,
+        w_ih_t=pad_w_ih_t(flow_params["rnn"]["w_ih"]),
         w_hh_t=jnp.swapaxes(flow_params["rnn"]["w_hh"], 1, 2),
         b_ih=flow_params["rnn"]["b_ih"],
         b_hh=flow_params["rnn"]["b_hh"],

@@ -72,6 +72,15 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _largest_dividing_tile(b: int, cap: int) -> int:
+    """Largest batch tile <= cap that divides b (the gate guarantees
+    b % 128 == 0, but e.g. b=384 is not divisible by a 256 tile)."""
+    bt = min(b, cap)
+    while b % bt:
+        bt -= 128
+    return max(bt, min(b, 128))
+
+
 class TrainWeights(NamedTuple):
     """Flow weights prepared for the fused forward/backward kernels.
 
@@ -118,29 +127,15 @@ def prepare_train_weights(spec: FlowSpec, flow_params) -> TrainWeights:
     with jax.default_matmul_precision("highest"):
         w = jax.vmap(materialize)(flow_params["perm"])
 
-    # fold the linear-zeros logscale into weight+bias; permute rows so that
-    # h @ W^T yields [shift(0::2) | scale(1::2)] contiguously along lanes
-    out_w = flow_params["out"]["w"]                    # [K, Cout, H]
-    out_b = flow_params["out"]["b"]
-    out_scale = jnp.exp(flow_params["out"]["logs"] * 3.0)
-    out_w = out_w * out_scale[..., None]
-    out_b = out_b * out_scale
-    perm = jnp.concatenate([jnp.arange(0, cout, 2), jnp.arange(1, cout, 2)])
-    out_w = out_w[:, perm, :]
-    out_b = out_b[:, perm]
+    from lets_face_it_tpu.ops.pallas_flow import fold_output_head, pad_w_ih_t
 
-    # pad the streamed GRU input weight's sublane dim to the (8, 128) tiling;
-    # zero rows match zero-padded rnn_in columns exactly
-    w_ih_t = jnp.swapaxes(flow_params["rnn"]["w_ih"], 1, 2)   # [K, in, 3H]
-    pad = (-w_ih_t.shape[1]) % 8
-    if pad:
-        w_ih_t = jnp.pad(w_ih_t, ((0, 0), (0, pad), (0, 0)))
+    out_w, out_b = fold_output_head(flow_params["out"], cout)
 
     return TrainWeights(
         w=w,
         an_bias=flow_params["actnorm"]["bias"],
         an_scale=jnp.exp(flow_params["actnorm"]["logs"]),
-        w_ih_t=w_ih_t,
+        w_ih_t=pad_w_ih_t(flow_params["rnn"]["w_ih"]),
         w_hh_t=jnp.swapaxes(flow_params["rnn"]["w_hh"], 1, 2),
         b_ih=flow_params["rnn"]["b_ih"],
         b_hh=flow_params["rnn"]["b_hh"],
@@ -605,10 +600,11 @@ def flow_sequence_fused(spec: FlowSpec, flow_params, xs, cond_seq, states0, *,
     """
     if interpret is None:
         interpret = INTERPRET
+    b = xs.shape[1]
     if bt_fwd is None:
-        bt_fwd = BT_FWD
+        bt_fwd = _largest_dividing_tile(b, BT_FWD)
     if bt_bwd is None:
-        bt_bwd = BT_BWD
+        bt_bwd = _largest_dividing_tile(b, BT_BWD)
     if precision is None:
         from lets_face_it_tpu.ops.pallas_flow import ambient_matmul_precision
 
