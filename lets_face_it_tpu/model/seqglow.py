@@ -53,7 +53,8 @@ def _frame_numbers(spec: FlowSpec, batch, n_frames: int):
 
 
 def sequence_nll(spec: FlowSpec, params: SeqGlowParams, batch, *, rng=None,
-                 training=False, collect_scales=False, use_fused=None):
+                 training=False, collect_scales=False, use_fused=None,
+                 mesh=None):
     """Teacher-forced NLL over a [B, T, C] sequence.
 
     Returns (z_seq [N, B, C], loss scalar, per-frame per-sample losses [N, B]).
@@ -63,6 +64,13 @@ def sequence_nll(spec: FlowSpec, params: SeqGlowParams, batch, *, rng=None,
     VJP); auto-enabled on TPU when the flow configuration and batch size are
     inside the kernel envelope. The conditioning encoders stay on the XLA
     path either way.
+
+    ``mesh``: a data-parallel ``jax.sharding.Mesh``. Pallas kernels have no
+    GSPMD partitioning rule, so under a mesh the fused traversal runs inside
+    ``shard_map`` — weights replicated, batch axis sharded, each device
+    running the kernels on its local shard; gradient psums come from
+    shard_map's autodiff. Without a mesh the fused path only auto-engages
+    on a single device.
     """
     x = batch["p1_face"]
     b, t, _ = x.shape
@@ -84,16 +92,34 @@ def sequence_nll(spec: FlowSpec, params: SeqGlowParams, batch, *, rng=None,
     if use_fused is None:
         from lets_face_it_tpu.ops import pallas_train
 
-        # single-chip only: pallas_call has no GSPMD partitioning rule, so
-        # under a multi-device mesh the sharded-batch XLA path stays on
-        use_fused = (pallas_train.train_fused_supported(spec, b)
-                     and jax.default_backend() == "tpu"
-                     and jax.device_count() == 1)
+        n_shards = mesh.devices.size if mesh is not None else 1
+        use_fused = (jax.default_backend() == "tpu"
+                     and b % n_shards == 0
+                     and pallas_train.train_fused_supported(spec,
+                                                            b // n_shards)
+                     and (mesh is not None or jax.device_count() == 1))
     if use_fused:
         from lets_face_it_tpu.ops import pallas_train
 
-        z_seq, logdet, _, scales = pallas_train.flow_sequence_fused(
-            spec, params.flow, xs, cond_projs, states0)
+        def run_fused(flow_params, xs, cond_projs, states0):
+            return pallas_train.flow_sequence_fused(
+                spec, flow_params, xs, cond_projs, states0)
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            ax = mesh.axis_names[0]
+            # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+            # annotation; the specs below are the full story (batch sharded,
+            # everything else replicated)
+            run_fused = jax.shard_map(
+                run_fused, mesh=mesh,
+                in_specs=(P(), P(None, ax), P(None, None, ax), P(None, ax)),
+                out_specs=(P(None, ax), P(None, ax), P(None, ax),
+                           P(None, None, ax)),
+                check_vma=False)
+        z_seq, logdet, _, scales = run_fused(params.flow, xs, cond_projs,
+                                             states0)
         losses = nll_from_objective(logdet + ops.gaussian_logp(z_seq))
         loss = jnp.mean(losses)
         if collect_scales:
@@ -272,7 +298,8 @@ def sequence_invert(spec: FlowSpec, params: SeqGlowParams, z_seq, data):
 # over a remote-device transport and wasteful everywhere)
 sequence_nll_jit = jax.jit(
     sequence_nll,
-    static_argnames=("spec", "training", "collect_scales", "use_fused"))
+    static_argnames=("spec", "training", "collect_scales", "use_fused",
+                     "mesh"))
 sequence_sample_jit = jax.jit(
     sequence_sample,
     static_argnames=("spec", "seq_len", "eps_std", "use_fused",

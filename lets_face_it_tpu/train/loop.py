@@ -189,8 +189,8 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
                                              None) is None:
         render_client.on_rendered = logger.video_url
 
-    train_step = train_state.make_train_step(spec, hp, optimizer)
-    eval_step = train_state.make_eval_step(spec)
+    train_step = train_state.make_train_step(spec, hp, optimizer, mesh=mesh)
+    eval_step = train_state.make_eval_step(spec, mesh=mesh)
 
     actnorm_inited = False
     start_epoch = 0

@@ -67,7 +67,11 @@ def _masked_grads(grads: SeqGlowParams) -> SeqGlowParams:
     return grads._replace(flow=new_flow)
 
 
-def make_train_step(spec: FlowSpec, hp, optimizer):
+def make_train_step(spec: FlowSpec, hp, optimizer, mesh=None,
+                    use_fused=None):
+    """``mesh``: data-parallel mesh, forwarded to sequence_nll so the fused
+    Pallas traversal runs per-shard under shard_map (GSPMD cannot partition
+    a pallas_call). ``use_fused`` forces the kernel choice (None = auto)."""
     use_negative = bool(hp.Train.get("use_negative_nll_loss", False))
     neg_modalities, _ = derange.mismatched_modalities(hp.Conditioning)
 
@@ -88,7 +92,8 @@ def make_train_step(spec: FlowSpec, hp, optimizer):
 
         def loss_fn(params):
             _, nll, _ = seqglow.sequence_nll(
-                spec, params, chosen, rng=k_dropout, training=True)
+                spec, params, chosen, rng=k_dropout, training=True,
+                mesh=mesh, use_fused=use_fused)
             return factor * nll, nll
 
         (loss, raw_nll), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -109,10 +114,11 @@ def make_train_step(spec: FlowSpec, hp, optimizer):
     return train_step
 
 
-def make_eval_step(spec: FlowSpec):
+def make_eval_step(spec: FlowSpec, mesh=None):
     @jax.jit
     def eval_step(params: SeqGlowParams, batch):
-        z_seq, loss, losses = seqglow.sequence_nll(spec, params, batch)
+        z_seq, loss, losses = seqglow.sequence_nll(spec, params, batch,
+                                                   mesh=mesh)
         return z_seq, loss, losses
 
     return eval_step

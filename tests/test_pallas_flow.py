@@ -105,3 +105,41 @@ def test_seq_fused_sampling_matches_xla():
         pallas_flow.INTERPRET = False
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4, rtol=1e-4)
+
+
+def test_seq_fused_sampling_no_face():
+    """p1_dim == 0 (the no_face ablation): the sequence kernel skips the
+    ring buffer entirely and must still match the XLA scan."""
+    import jax.numpy as jnp
+
+    from lets_face_it_tpu.model import FlowSpec, seqglow
+
+    from conftest import random_batch, tiny_hparams
+    hp = tiny_hparams()
+    hp.Conditioning["p1_face"]["dim"] = 0        # own-face conditioning off
+    spec = FlowSpec.build(hp)
+    assert spec.cond.p1_face.out_dim == 0
+    params = init_seqglow(jax.random.PRNGKey(1), spec)
+
+    seq_len = 10
+    data = {k: jnp.asarray(v) for k, v in
+            random_batch(hp, batch_size=2, seq_len=seq_len).items()}
+    # the flow still models the 12-D face (channels come from the Data dims;
+    # dim 0 only disables own-face conditioning) — random_batch sized the
+    # faces from the conditioning dim
+    face_rng = jax.random.PRNGKey(7)
+    data["p1_face"] = jax.random.normal(face_rng, (2, seq_len, spec.channels))
+    data["p2_face"] = jax.random.normal(face_rng, (2, seq_len, spec.channels))
+    rng = jax.random.PRNGKey(6)
+    ref = seqglow.sequence_sample(spec, params, data, seq_len, eps_std=1.0,
+                                  rng=rng, use_fused=False,
+                                  use_seq_fused=False)
+    pallas_flow.INTERPRET = True
+    try:
+        got = seqglow.sequence_sample(spec, params, data, seq_len,
+                                      eps_std=1.0, rng=rng, use_fused=False,
+                                      use_seq_fused=True)
+    finally:
+        pallas_flow.INTERPRET = False
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)

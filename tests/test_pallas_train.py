@@ -171,3 +171,43 @@ def test_ambient_precision_mapping_and_default_path():
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(ld_got), np.asarray(ld_ref),
                                atol=1e-4, rtol=1e-5)
+
+
+def test_fused_under_shard_map_matches_single_device(hp):
+    """The fused traversal under a data-parallel mesh (shard_map: weights
+    replicated, batch sharded over 8 virtual devices) produces the same loss
+    and parameter gradients as the single-process XLA path — the multi-chip
+    story for the Pallas kernels (GSPMD cannot partition a pallas_call)."""
+    from conftest import random_batch
+
+    from lets_face_it_tpu.model import seqglow
+    from lets_face_it_tpu.parallel import mesh as pmesh
+
+    hp.Conditioning["p1_face"]["dim"] = 12
+    spec = FlowSpec.build(hp)
+    params = init_seqglow(jax.random.PRNGKey(0), spec)
+    batch = {k: jnp.asarray(v) for k, v in
+             random_batch(hp, batch_size=8).items()}
+
+    mesh = pmesh.make_mesh(8)
+    sharded = pmesh.shard_batch(mesh, batch)
+    params_rep = pmesh.replicate(mesh, params)
+
+    def nll(params, batch, use_fused, mesh):
+        _, loss, _ = seqglow.sequence_nll(spec, params, batch,
+                                          use_fused=use_fused, mesh=mesh)
+        return loss
+
+    ref, ref_g = jax.value_and_grad(nll)(params, batch, False, None)
+    pallas_train.INTERPRET = True
+    try:
+        got, got_g = jax.jit(
+            jax.value_and_grad(nll), static_argnums=(2, 3))(
+            params_rep, sharded, True, mesh)
+    finally:
+        pallas_train.INTERPRET = False
+
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-6)
+    for g_ref, g_got in zip(jax.tree.leaves(ref_g), jax.tree.leaves(got_g)):
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                   atol=2e-5, rtol=1e-4)
