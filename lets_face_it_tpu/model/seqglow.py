@@ -152,7 +152,7 @@ def sequence_nll(spec: FlowSpec, params: SeqGlowParams, batch, *, rng=None,
 def sequence_sample(spec: FlowSpec, params: SeqGlowParams, data, seq_len: int,
                     *, eps_std: float = 1.0, rng, z_seq=None,
                     use_fused: bool | None = None,
-                    use_seq_fused: bool | None = None):
+                    use_seq_fused: bool | None = None, mesh=None):
     """Autoregressive generation (models.py:567-596).
 
     ``data`` seeds the own-face history (``p1_face[:, :start]``) and provides
@@ -219,9 +219,12 @@ def sequence_sample(spec: FlowSpec, params: SeqGlowParams, data, seq_len: int,
     if use_seq_fused is None:
         from lets_face_it_tpu.ops import pallas_flow
 
+        n_shards = mesh.devices.size if mesh is not None else 1
+        b_local = b // n_shards if b % n_shards == 0 else 0
         use_seq_fused = (bool(use_fused)
                          and pallas_flow.sampling_seq_supported(spec)
-                         and (b <= 128 or b % 128 == 0))
+                         and b_local > 0
+                         and (b_local <= 128 or b_local % 128 == 0))
     if use_seq_fused:
         from lets_face_it_tpu.ops import pallas_flow
 
@@ -235,9 +238,22 @@ def sequence_sample(spec: FlowSpec, params: SeqGlowParams, data, seq_len: int,
             hist0 = jnp.zeros((b, 8), x_seed.dtype)
             w_p1_t = jnp.zeros((spec.n_steps, 8, spec.cond.cond_dim),
                                x_seed.dtype)
-        xs = pallas_flow.sequence_rev_fused(
-            spec, fused_weights, w_p1_t, zs, fixed_projs, hist0, states0,
-            interpret=pallas_flow.INTERPRET)
+
+        def run_seq(weights, w_p1_t, zs, fixed_projs, hist0, states0):
+            return pallas_flow.sequence_rev_fused(
+                spec, weights, w_p1_t, zs, fixed_projs, hist0, states0,
+                interpret=pallas_flow.INTERPRET)
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            ax = mesh.axis_names[0]
+            run_seq = jax.shard_map(
+                run_seq, mesh=mesh,
+                in_specs=(P(), P(), P(None, ax), P(None, None, ax), P(ax),
+                          P(None, ax)),
+                out_specs=P(None, ax), check_vma=False)
+        xs = run_seq(fused_weights, w_p1_t, zs, fixed_projs, hist0, states0)
         return jnp.moveaxis(xs, 0, 1)
 
     def step(carry, inp):
@@ -303,5 +319,5 @@ sequence_nll_jit = jax.jit(
 sequence_sample_jit = jax.jit(
     sequence_sample,
     static_argnames=("spec", "seq_len", "eps_std", "use_fused",
-                     "use_seq_fused"))
+                     "use_seq_fused", "mesh"))
 sequence_invert_jit = jax.jit(sequence_invert, static_argnames=("spec",))

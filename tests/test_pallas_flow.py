@@ -143,3 +143,42 @@ def test_seq_fused_sampling_no_face():
         pallas_flow.INTERPRET = False
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4, rtol=1e-4)
+
+
+def test_seq_fused_sampling_under_shard_map():
+    """Sharded serving: the whole-sequence kernel under a data-parallel mesh
+    (batch sharded, weights replicated) generates the same frames as the
+    unsharded XLA scan."""
+    import jax.numpy as jnp
+
+    from lets_face_it_tpu.model import seqglow
+    from lets_face_it_tpu.parallel import mesh as pmesh
+
+    spec = _final_like_spec()
+    params = init_seqglow(jax.random.PRNGKey(0), spec)
+
+    from conftest import random_batch, tiny_hparams
+    hp = tiny_hparams()
+    hp.Conditioning["p1_face"]["dim"] = 12
+    seq_len = 12
+    data = {k: jnp.asarray(v) for k, v in
+            random_batch(hp, batch_size=8, seq_len=seq_len).items()}
+    rng = jax.random.PRNGKey(5)
+
+    ref = seqglow.sequence_sample(spec, params, data, seq_len, eps_std=1.0,
+                                  rng=rng, use_fused=False,
+                                  use_seq_fused=False)
+
+    mesh = pmesh.make_mesh(8)
+    sharded = pmesh.shard_batch(mesh, data)
+    params_rep = pmesh.replicate(mesh, params)
+    pallas_flow.INTERPRET = True
+    try:
+        got = seqglow.sequence_sample_jit(
+            spec, params_rep, sharded, seq_len, eps_std=1.0,
+            rng=pmesh.replicate(mesh, rng), use_fused=False,
+            use_seq_fused=True, mesh=mesh)
+    finally:
+        pallas_flow.INTERPRET = False
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
