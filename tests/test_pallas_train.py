@@ -211,3 +211,35 @@ def test_fused_under_shard_map_matches_single_device(hp):
     for g_ref, g_got in zip(jax.tree.leaves(ref_g), jax.tree.leaves(got_g)):
         np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_fused_training_trajectory_matches_xla(hp, batch):
+    """Three full optimizer steps (derangement branch, masking, Adam) with
+    the fused kernels reproduce the XLA path's loss trajectory — catches
+    optimizer/donation interactions the single-step gradient test can't."""
+    from lets_face_it_tpu.train import state as train_state
+    from lets_face_it_tpu.train.optim import build_optimizer
+
+    hp.Conditioning["p1_face"]["dim"] = 12
+    spec = FlowSpec.build(hp)
+    optimizer = build_optimizer(hp, steps_per_epoch=10)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def run(use_fused):
+        state = train_state.init_train_state(jax.random.PRNGKey(0), spec,
+                                             optimizer)
+        step = train_state.make_train_step(spec, hp, optimizer,
+                                           use_fused=use_fused)
+        nlls = []
+        for _ in range(3):
+            state, m = step(state, batch)
+            nlls.append(float(m["nll"]))
+        return nlls
+
+    ref = run(False)
+    pallas_train.INTERPRET = True
+    try:
+        got = run(True)
+    finally:
+        pallas_train.INTERPRET = False
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
