@@ -77,17 +77,9 @@ def bench_sampling(hp, spec, params, batch_size: int, gen_frames: int = 100,
     return frames_per_sec, dt
 
 
-def _hard_sync(x):
-    """Force remote completion: a scalar host fetch of the last output.
-
-    On the axon remote-TPU platform ``block_until_ready`` can return before
-    independent queued dispatches have executed; the single device executes
-    in dispatch order, so fetching a scalar derived from the final output
-    drains the whole queue (validated against jax.profiler module durations
-    — see docs/PERF.md). Timing loops use the N-vs-2N difference so the
-    fetch's fixed round-trip cost cancels."""
-    leaf = jax.tree.leaves(x)[0]
-    float(jax.numpy.sum(leaf))
+# the axon-transport sync + N-vs-2N difference-timing recipe lives in one
+# place (rationale in its docstring and docs/PERF.md)
+from lets_face_it_tpu.utils.timing import hard_sync as _hard_sync  # noqa: E402
 
 
 def bench_training(hp, spec, params, batch_size: int = 256, iters: int = 5):
@@ -169,7 +161,13 @@ def main():
     # B=64/128/256/512 f32-highest; same shape at bf16)
     fps_batch, _ = bench_sampling(hp, spec, params, batch_size=128)
     train_sps, train_dt = bench_training(hp, spec, params)
-    sps_1024, _ = bench_training(hp, spec, params, batch_size=1024, iters=2)
+    try:
+        sps_1024, _ = bench_training(hp, spec, params, batch_size=1024,
+                                     iters=2)
+    except Exception as exc:  # smaller accelerators: keep the headline JSON
+        print(f"b1024 training bench failed: {type(exc).__name__}: {exc}",
+              file=sys.stderr)
+        sps_1024 = None
     batch_table = (bench_batch_scaling(hp, spec, params) if scaling else None)
     # production bf16 rows: the fused kernels follow the ambient matmul
     # precision (single-pass MXU dots here), measured 1.26x over XLA-bf16
@@ -191,7 +189,8 @@ def main():
         "sampling_fps_batch1_bf16matmul": round(fps_b1_fast, 1),
         "sampling_fps_batched_bf16matmul": round(fps_batch_fast, 1),
         "train_windows_per_sec": round(train_sps * 256, 1),
-        "train_windows_per_sec_b1024": round(sps_1024 * 1024, 1),
+        "train_windows_per_sec_b1024": (round(sps_1024 * 1024, 1)
+                                        if sps_1024 is not None else None),
         "nll_parity_rel_err_vs_torch_f64": (round(parity, 8)
                                             if parity is not None else None),
         "device": f"{dev.device_kind}",

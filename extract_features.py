@@ -231,8 +231,23 @@ def stage_voca(dataset_dir, fps):
     except Exception as exc:
         log(f"voca stage unavailable: {exc}")
         return
+    from lets_face_it_tpu.features.lipsync import voca_to_flame_params
+
     for f in extract_voca(dataset_dir, fps, model=model):
         log(f"voca: {f}")
+    # convert lipsync meshes into the per-frame FLAME-parameter layout the
+    # stimulus tooling consumes (stimulus.get_vocas:
+    # Sessions_50fps_voca/<session>/<participant>/flame_params/<frame>.npy)
+    import numpy as np
+
+    for mesh_file in sorted(Path(dataset_dir).glob(f"*/*/voca_mesh_{fps}fps.npy")):
+        participant = mesh_file.parent
+        out_dir = (Path(dataset_dir) / "Sessions_50fps_voca"
+                   / participant.parent.name / participant.name)
+        if (out_dir / "flame_params").is_dir():
+            continue
+        voca_to_flame_params(np.load(mesh_file), model.model, out_dir)
+        log(f"voca flame_params: {out_dir}")
 
 
 def stage_combine(dataset_dir, splits_file, fps, output):

@@ -40,13 +40,19 @@ class EnvelopeLipsync:
 
     def __init__(self, flame_model, *, out_fps: float = 60.0,
                  jaw_gain: float = 0.28, exp_gain: float = 0.35,
-                 attack_ms: float = 40.0, release_ms: float = 120.0):
+                 attack_ms: float = 40.0, release_ms: float = 120.0,
+                 full_scale_rms: float = 0.05):
         self.model = flame_model
         self.out_fps = out_fps
         self.jaw_gain = jaw_gain
         self.exp_gain = exp_gain
         self.attack_ms = attack_ms
         self.release_ms = release_ms
+        # absolute envelope level (for audio in [-1, 1]) that maps to a
+        # fully-open jaw: keeps amplitudes consistent across the separately
+        # processed audio chunks, and stops quiet/noise-only chunks from
+        # being peak-normalized up to full articulation
+        self.full_scale_rms = full_scale_rms
 
     def params_for_audio(self, audio, sample_rate: float) -> dict:
         """{jaw [N, 3], exp [N, n_expr]} at ``out_fps`` frames."""
@@ -73,14 +79,14 @@ class EnvelopeLipsync:
             a = a_att if e > prev else a_rel
             prev = a * prev + (1.0 - a) * e
             smooth[i] = prev
-        peak = smooth.max()
-        openness = smooth / peak if peak > 1e-8 else smooth
+        openness = np.clip(smooth / self.full_scale_rms, 0.0, 1.0)
 
         n_expr = int(self.model.shapedirs.shape[-1]) - 300
         jaw = np.zeros((n_frames, 3), np.float32)
         jaw[:, 0] = self.jaw_gain * openness          # pitch-open
         exp = np.zeros((n_frames, n_expr), np.float32)
-        lip_drive = np.gradient(openness) * self.out_fps / 10.0
+        lip_drive = (np.gradient(openness) * self.out_fps / 10.0
+                     if len(openness) > 1 else np.zeros_like(openness))
         exp[:, 0] = self.exp_gain * openness
         exp[:, 1] = self.exp_gain * np.clip(lip_drive, -1.0, 1.0)
         return {"jaw": jaw, "exp": exp}

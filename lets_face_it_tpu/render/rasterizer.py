@@ -42,6 +42,13 @@ def _rot_y(a):
     return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
 
 
+def _resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbour resample (dependency-free; textures only)."""
+    yi = (np.arange(h) * img.shape[0] // h).clip(0, img.shape[0] - 1)
+    xi = (np.arange(w) * img.shape[1] // w).clip(0, img.shape[1] - 1)
+    return img[yi][:, xi]
+
+
 def default_lights(intensity: float = 1.5):
     """Five point lights at rotations of [0, 0, 1] (render_tools.py:51-70)."""
     angle = np.pi / 6.0
@@ -124,6 +131,13 @@ class Rasterizer:
             uv_arr = np.ascontiguousarray(np.concatenate(uvs, axis=0),
                                           np.float32)       # [total_F, 3, 2]
             assert uv_arr.shape == (face_offsets[-1], 3, 2)
+            # user-provided texture PNGs may differ in size (and the
+            # procedural fallback is 256x256) — resample to a common shape
+            # before stacking
+            if len({t.shape for t in textures}) > 1:
+                h = max(t.shape[0] for t in textures)
+                w = max(t.shape[1] for t in textures)
+                textures = [_resize_nearest(t, h, w) for t in textures]
             tex_arr = np.ascontiguousarray(np.stack(textures), np.uint8)
             _, tex_h, tex_w, _ = tex_arr.shape
             uv_ptr = uv_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))

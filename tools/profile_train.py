@@ -108,13 +108,7 @@ def parse_trace(trace_dir: Path):
     return per_cat, per_op, total
 
 
-def _hard_sync(x):
-    """Scalar host fetch: on the remote axon platform block_until_ready can
-    return before independent queued dispatches execute (see docs/PERF.md)."""
-    import jax.numpy as jnp
-
-    leaf = jax.tree.leaves(x)[0]
-    float(jnp.sum(leaf))
+from lets_face_it_tpu.utils.timing import hard_sync as _hard_sync  # noqa: E402
 
 
 def time_fn(fn, *fn_args, iters=5):

@@ -44,10 +44,7 @@ def variant_einsum(w, b, cond_all):
 
 
 def time_fn(fn, *args, iters=10):
-    def sync(x):
-        # block_until_ready can return early for independent dispatches on
-        # the axon remote platform; a scalar fetch drains the queue
-        float(jnp.sum(jax.tree.leaves(x)[0]))
+    from lets_face_it_tpu.utils.timing import hard_sync as sync
 
     sync(fn(*args))
 
