@@ -85,6 +85,17 @@ def test_full_pipeline(tmp_path):
             np.save(d / f"mfcc_{FPS}fps.npy", np.asarray(
                 mfcc.extract_mfcc_to_frames(samples * 32768.0, fs, N_FRAMES)))
 
+    # --- stage: RingNet-lite landmark init (ringnet_{fps}fps.h5 seeds the
+    # fitter; the external RingNet drop-in would take precedence) ---
+    from lets_face_it_tpu.features import ringnet_lite
+
+    for name in ("S1", "S2"):
+        for part in ("P1", "P2"):
+            out = ringnet_lite.extract_ringnet_lite(
+                dataset_dir / name / part, FPS, model=MODEL, emb=EMB,
+                shape_frames=4, rigid_steps=10, shape_steps=10)
+            assert out.exists()
+
     # --- stage: FLAME landmark fitting (batched L-BFGS) ---
     for name in ("S1", "S2"):
         for part in ("P1", "P2"):
