@@ -42,8 +42,13 @@ def build_full_model():
 
 
 def bench_sampling(hp, spec, params, batch_size: int, gen_frames: int = 100,
-                   iters: int = 5):
+                   iters: int | None = None):
     from lets_face_it_tpu.model import seqglow
+
+    if iters is None:
+        # small batches run ~3 ms/call: more iterations keep the N-vs-2N
+        # difference signal well above the remote-transport jitter
+        iters = 25 if batch_size <= 8 else 5
 
     start = spec.cond.longest_history
     seq_len = start + gen_frames
@@ -69,10 +74,16 @@ def bench_sampling(hp, spec, params, batch_size: int, gen_frames: int = 100,
         _hard_sync(out)
         return time.perf_counter() - t0
 
-    # difference method: the fixed hard-sync/queue-lag cost cancels
-    t_short = timed(keys[:iters])
-    t_long = timed(keys[iters:])
-    dt = max(t_long - t_short, 1e-9) / iters
+    # difference method: the fixed hard-sync/queue-lag cost cancels; the
+    # MEDIAN over repeats rejects transport-noise outliers in either
+    # direction (noise in the short leg shrinks the difference, in the long
+    # leg inflates it — small batches run ~3 ms/call against ~100 ms RTTs)
+    dts = []
+    for _ in range(3):
+        t_short = timed(keys[:iters])
+        t_long = timed(keys[iters:])
+        dts.append(max(t_long - t_short, 1e-9) / iters)
+    dt = sorted(dts)[1]
     frames_per_sec = batch_size * gen_frames / dt
     return frames_per_sec, dt
 
