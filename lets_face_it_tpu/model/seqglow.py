@@ -15,6 +15,7 @@ divided by the 56 channel dims.
 
 from __future__ import annotations
 
+import logging
 from typing import NamedTuple
 
 import jax
@@ -23,6 +24,46 @@ import jax.numpy as jnp
 from lets_face_it_tpu.core import ops
 from lets_face_it_tpu.model import encoders, flow
 from lets_face_it_tpu.model.spec import FlowSpec
+
+logger = logging.getLogger(__name__)
+
+# Trace-time record of the path sequence_nll last dispatched to ("fused" or
+# "xla") — lets the multichip dryrun and tests assert the AUTO gate (not a
+# use_fused override) actually engaged the Pallas kernels.
+LAST_NLL_DISPATCH: str | None = None
+
+
+def _auto_use_fused(spec: FlowSpec, batch_size: int, mesh) -> bool:
+    """The fused-training-kernel auto-gate. Engages on TPU when the flow
+    configuration and the PER-SHARD batch are inside the kernel envelope
+    (ops/pallas_train.py). Warns loudly — once per trace — when the model
+    would fuse but the batch/sharding disengages it, so a silent XLA
+    fallback can't eat the measured 1.12-1.26x step speedup unnoticed."""
+    from lets_face_it_tpu.ops import pallas_train
+
+    backend = pallas_train.GATE_BACKEND_OVERRIDE or jax.default_backend()
+    if backend != "tpu" or not pallas_train.train_fused_spec_supported(spec):
+        return False
+    n_shards = mesh.devices.size if mesh is not None else 1
+    batch_ok = (batch_size % n_shards == 0
+                and pallas_train.train_fused_supported(
+                    spec, batch_size // n_shards))
+    mesh_ok = mesh is not None or jax.device_count() == 1
+    if batch_ok and mesh_ok:
+        return True
+    if not batch_ok:
+        logger.warning(
+            "fused training kernels DISENGAGED: per-shard batch %s "
+            "(global %d over %d shard(s)) is outside the kernel envelope "
+            "(needs a multiple of 32) — falling back to the XLA scan path",
+            batch_size / n_shards, batch_size, n_shards)
+    else:
+        logger.warning(
+            "fused training kernels DISENGAGED: %d devices visible but no "
+            "mesh given (pallas_call has no GSPMD rule; pass mesh= for "
+            "shard_map dispatch) — falling back to the XLA scan path",
+            jax.device_count())
+    return False
 
 
 class SeqGlowParams(NamedTuple):
@@ -90,14 +131,9 @@ def sequence_nll(spec: FlowSpec, params: SeqGlowParams, batch, *, rng=None,
     states0 = flow.init_flow_states(spec, b, x.dtype)
 
     if use_fused is None:
-        from lets_face_it_tpu.ops import pallas_train
-
-        n_shards = mesh.devices.size if mesh is not None else 1
-        use_fused = (jax.default_backend() == "tpu"
-                     and b % n_shards == 0
-                     and pallas_train.train_fused_supported(spec,
-                                                            b // n_shards)
-                     and (mesh is not None or jax.device_count() == 1))
+        use_fused = _auto_use_fused(spec, b, mesh)
+    global LAST_NLL_DISPATCH
+    LAST_NLL_DISPATCH = "fused" if use_fused else "xla"
     if use_fused:
         from lets_face_it_tpu.ops import pallas_train
 
@@ -255,6 +291,15 @@ def sequence_sample(spec: FlowSpec, params: SeqGlowParams, data, seq_len: int,
                 out_specs=P(None, ax), check_vma=False)
         xs = run_seq(fused_weights, w_p1_t, zs, fixed_projs, hist0, states0)
         return jnp.moveaxis(xs, 0, 1)
+
+    if mesh is not None:
+        # only the whole-sequence kernel has a shard_map dispatch; the
+        # per-frame scan (XLA or frame_rev_fused) has no mesh handling and
+        # would silently ignore the argument, leaving pallas_calls exposed to
+        # GSPMD on sharded inputs
+        raise ValueError(
+            "sequence_sample with mesh= requires the whole-sequence fused "
+            "path (use_seq_fused); the per-frame scan path does not shard")
 
     def step(carry, inp):
         face_hist, states = carry
