@@ -4,18 +4,24 @@ Praat/parselmouth dependency (audio_utils.py:20-99).
 Pitch follows Boersma (1993), the algorithm behind Praat's ``to_pitch``:
 per frame, subtract the local mean, apply a Hanning window, estimate the
 normalized autocorrelation r_x = r_xw / r_w (dividing out the window's own
-autocorrelation), pick the strongest lag candidates against a voicing
-threshold, then Viterbi path-smooth across frames with octave/jump costs.
-Intensity is Praat-style: dB SPL re 2e-5 of the (Kaiser-windowed) mean square
-pressure per frame.
+autocorrelation), refine each local maximum by band-limited (sinc)
+interpolation on a fine lag grid, pick the strongest candidates against a
+voicing threshold, then Viterbi path-smooth across frames with octave/jump
+costs. Intensity is Praat's ``To Intensity``: dB SPL re 2e-5 of the
+mean-square pressure under a Kaiser-20 window of physical duration
+6.4/min_pitch (effective 3.2/min_pitch).
 
-The per-frame analysis is one batched ``[n_frames, window]`` FFT
-autocorrelation on the TPU; the Viterbi smoothing is a ``lax.scan`` over
-frames with a [n_candidates] cost carry. This is a faithful re-implementation
-of the published algorithm, not a bit-copy of Praat: values track parselmouth
-within a few cents on voiced frames (Praat adds sinc-interpolated peak
-refinement and adaptive candidate pruning), which is inside the tolerance the
-downstream log-compression (Chiu'11: clip(log(f0+1)-4, 0)) cares about.
+Frame layout matches Praat: a comb of ``window_dur``-long frames at
+``time_step`` spacing, centered as a whole in the sound; tracks are then
+sampled at the reference's query times by linear interpolation (Praat's
+``Get value at time``), voiced-aware for pitch. All layout arithmetic is
+static (shapes only), so the per-frame analysis is one batched
+``[n_frames, window]`` FFT autocorrelation on the TPU and the Viterbi
+smoothing a ``lax.scan`` over frames.
+
+Golden-file parity vs an independently written NumPy Praat
+re-implementation (tools/praat_golden.py) is asserted in
+tests/test_prosody_parity.py; measured residuals are recorded in PARITY.md.
 
 The derivative/stacking/resampling driver matches audio_utils.py:49-99.
 """
@@ -40,34 +46,50 @@ OCTAVE_JUMP_COST = 0.35
 VOICED_UNVOICED_COST = 0.14
 N_CANDIDATES = 15
 
+_SINC_HALF_WIDTH = 8    # autocorrelation samples each side of a peak
+_SINC_UPSAMPLE = 16     # fine-grid points per lag sample
 
-def _frame_indices(n_samples: int, frame_len: int, time_step_samples: int):
-    n_frames = max(1 + (n_samples - frame_len) // time_step_samples, 1)
-    starts = jnp.arange(n_frames) * time_step_samples
-    return starts[:, None] + jnp.arange(frame_len)[None, :], n_frames
+
+def praat_frame_layout(n_samples: int, fs: float, window_dur: float,
+                       time_step: float):
+    """Praat's centered frame layout: as many ``window_dur`` frames as fit at
+    ``time_step`` spacing, the whole comb centered in the sound. Returns
+    (frame start indices [N] np.int32, frame center times [N] np.float64,
+    frame_len) — all static, computed at trace time."""
+    duration = n_samples / fs
+    frame_len = int(round(window_dur * fs))
+    n_frames = int(np.floor((duration - window_dur) / time_step)) + 1
+    n_frames = max(n_frames, 1)
+    t_mid_first = 0.5 * (duration - (n_frames - 1) * time_step)
+    centers = t_mid_first + np.arange(n_frames) * time_step
+    starts = np.round(centers * fs - frame_len / 2).astype(np.int64)
+    starts = np.clip(starts, 0, max(n_samples - frame_len, 0))
+    return starts.astype(np.int32), centers, frame_len
 
 
 @partial(jax.jit, static_argnames=("fs", "time_step", "floor", "ceiling"))
 def pitch_candidates(x, *, fs: int, time_step: float = 0.05,
                      floor: float = PITCH_FLOOR, ceiling: float = PITCH_CEILING):
-    """Per-frame pitch candidates via windowed autocorrelation.
+    """Per-frame pitch candidates via windowed autocorrelation with sinc
+    peak refinement.
 
-    Returns (freqs [N, C], strengths [N, C], intensity_frame [N]) where
-    candidate 0 is "unvoiced". Window = 3 periods of the pitch floor (Boersma's
-    choice for the AC method).
+    Returns (freqs [N, C], strengths [N, C], local_peak [N]) where candidate
+    0 is "unvoiced". Window = 3 periods of the pitch floor (Boersma's choice
+    for the AC method), frames Praat-centered (``pitch_frame_centers`` gives
+    their times).
     """
     x = jnp.asarray(x, jnp.float32)
-    frame_len = int(round(3.0 * fs / floor))
-    # round up to an even FFT-friendly length
+    starts, _, frame_len = praat_frame_layout(
+        x.shape[0], fs, 3.0 / floor, time_step)
+    n_frames = len(starts)
     nfft = int(2 ** np.ceil(np.log2(frame_len * 2)))
-    step = int(round(time_step * fs))
-    idx, n_frames = _frame_indices(x.shape[0], frame_len, step)
 
+    idx = jnp.asarray(starts)[:, None] + jnp.arange(frame_len)[None, :]
     frames = x[idx]                                    # [N, L]
     frames = frames - jnp.mean(frames, axis=1, keepdims=True)
 
     # local (frame) peak amplitude relative to global, for the silence test
-    global_peak = jnp.max(jnp.abs(x)) + 1e-12
+    global_peak = jnp.max(jnp.abs(x - jnp.mean(x))) + 1e-12
     local_peak = jnp.max(jnp.abs(frames), axis=1)
     local_intensity = local_peak / global_peak
 
@@ -93,35 +115,55 @@ def pitch_candidates(x, *, fs: int, time_step: float = 0.05,
                & (lags[None, :] >= min_lag) & (lags[None, :] <= max_lag))
     peak_strength = jnp.where(is_peak, r, -jnp.inf)
 
-    # parabolic interpolation around each retained peak
-    r_m = jnp.roll(r, 1, axis=1)
-    r_p = jnp.roll(r, -1, axis=1)
-    denom = (r_m - 2 * r + r_p)
-    delta = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (r_m - r_p) / denom, 0.0)
-    lag_ref = lags[None, :] + jnp.clip(delta, -0.5, 0.5)
-    str_ref = r - 0.25 * (r_m - r_p) * jnp.clip(delta, -0.5, 0.5)
-
-    # top C-1 voiced candidates per frame
+    # top C-1 voiced candidates per frame (by unrefined peak height)
     top = jax.lax.top_k(peak_strength, N_CANDIDATES - 1)
-    top_strength = top[0]                              # [N, C-1]
-    top_lag = jnp.take_along_axis(lag_ref, top[1], axis=1)
-    cand_freq = jnp.where(jnp.isfinite(top_strength), fs / top_lag, 0.0)
-    cand_str = jnp.where(jnp.isfinite(top_strength),
-                         jnp.take_along_axis(str_ref, top[1], axis=1), -1e9)
-    # Boersma's octave-cost correction to candidate strength
-    cand_str = jnp.where(
-        cand_freq > 0,
-        cand_str - OCTAVE_COST * jnp.log2(
-            jnp.maximum(ceiling / jnp.maximum(cand_freq, 1e-6), 1e-6)),
-        cand_str)
+    found = jnp.isfinite(top[0])                       # [N, C-1]
+    lag_int = top[1]                                   # [N, C-1] integer lags
 
-    # unvoiced candidate strength (Boersma eq. 23)
+    # band-limited (sinc) refinement: evaluate r on a fine grid spanning
+    # lag +- 1 sample from the +-HALF_WIDTH integer-lag neighbourhood. The
+    # sinc weight matrix depends only on (fine offset - support offset), so
+    # it is one constant [F, S] matmul for every candidate of every frame.
+    offsets = np.arange(-_SINC_HALF_WIDTH, _SINC_HALF_WIDTH + 1)
+    rel = np.linspace(-1.0, 1.0, 2 * _SINC_UPSAMPLE + 1)
+    weights = jnp.asarray(np.sinc(rel[:, None] - offsets[None, :]),
+                          jnp.float32)                 # [F, S]
+    support = jnp.clip(lag_int[..., None] + jnp.asarray(offsets),
+                       0, frame_len - 1)               # [N, C-1, S]
+    sup_vals = jnp.take_along_axis(
+        jnp.broadcast_to(r[:, None, :], (n_frames,) + support.shape[1:-1]
+                         + (frame_len,)),
+        support, axis=2)                               # [N, C-1, S]
+    fine = jnp.einsum("fs,ncs->ncf", weights, sup_vals)  # [N, C-1, F]
+    k_best = jnp.argmax(fine, axis=-1)
+    lag_ref = lag_int + jnp.asarray(rel, jnp.float32)[k_best]
+    str_ref = jnp.take_along_axis(fine, k_best[..., None], axis=-1)[..., 0]
+
+    cand_freq = jnp.where(found, fs / jnp.maximum(lag_ref, 1e-6), 0.0)
+    in_range = (cand_freq >= floor) & (cand_freq <= ceiling) & (str_ref > 0)
+    cand_str = jnp.where(
+        found & in_range,
+        jnp.minimum(str_ref, 1.0) - OCTAVE_COST * jnp.log2(
+            jnp.maximum(ceiling / jnp.maximum(cand_freq, 1e-6), 1e-6)),
+        -1e30)
+    cand_freq = jnp.where(found & in_range, cand_freq, 0.0)
+
+    # unvoiced candidate strength (Boersma eq. 23): the silence term compares
+    # local/global peak against silence_threshold / (1 + voicing_threshold)
     unvoiced = (VOICING_THRESHOLD
-                + jnp.maximum(0.0, 2.0 - (local_intensity / SILENCE_THRESHOLD)
-                              / (1.0 + VOICING_THRESHOLD)))
+                + jnp.maximum(0.0, 2.0 - local_intensity
+                              * (1.0 + VOICING_THRESHOLD)
+                              / SILENCE_THRESHOLD))
     freqs = jnp.concatenate([jnp.zeros((n_frames, 1)), cand_freq], axis=1)
     strengths = jnp.concatenate([unvoiced[:, None], cand_str], axis=1)
     return freqs, strengths, local_peak
+
+
+def pitch_frame_centers(n_samples: int, fs: float, time_step: float = 0.05,
+                        floor: float = PITCH_FLOOR) -> np.ndarray:
+    """Center times of ``pitch_candidates``' frames."""
+    _, centers, _ = praat_frame_layout(n_samples, fs, 3.0 / floor, time_step)
+    return centers
 
 
 @jax.jit
@@ -168,51 +210,76 @@ def viterbi_pitch(freqs, strengths):
     return jnp.take_along_axis(freqs, path[:, None], axis=1)[:, 0]
 
 
-@partial(jax.jit, static_argnames=("fs", "time_step"))
+@partial(jax.jit, static_argnames=("fs", "time_step", "min_pitch"))
 def intensity_db(x, *, fs: int, time_step: float = 0.05,
                  min_pitch: float = 100.0):
-    """Praat-style intensity: dB re 2e-5 of windowed mean-square amplitude.
-    Effective window = 3.2 / min_pitch (Praat's default relation)."""
+    """Praat's ``To Intensity``: dB re 2e-5 of mean-square amplitude under a
+    Kaiser-20 window (beta = 2*pi^2 + 0.5, sidelobes < -190 dB) of physical
+    duration 6.4/min_pitch — effective duration 3.2/min_pitch — on
+    Praat-centered frames (``intensity_frame_centers``)."""
     x = jnp.asarray(x, jnp.float32)
-    frame_len = int(round(3.2 / min_pitch * fs))
-    step = int(round(time_step * fs))
-    idx, _ = _frame_indices(x.shape[0], frame_len, step)
+    starts, _, frame_len = praat_frame_layout(
+        x.shape[0], fs, 6.4 / min_pitch, time_step)
+    idx = jnp.asarray(starts)[:, None] + jnp.arange(frame_len)[None, :]
     frames = x[idx]
     frames = frames - jnp.mean(frames, axis=1, keepdims=True)
-    win = jnp.asarray(np.kaiser(frame_len, 2 * np.pi * 2.52), jnp.float32)
+    win = jnp.asarray(np.kaiser(frame_len, 2.0 * np.pi * np.pi + 0.5),
+                      jnp.float32)
     power = jnp.sum(frames ** 2 * win, axis=1) / jnp.sum(win)
     return 10.0 * jnp.log10(jnp.maximum(power, 1e-30) / (2e-5 ** 2))
 
 
+def intensity_frame_centers(n_samples: int, fs: float,
+                            time_step: float = 0.05,
+                            min_pitch: float = 100.0) -> np.ndarray:
+    """Center times of ``intensity_db``'s frames."""
+    _, centers, _ = praat_frame_layout(n_samples, fs, 6.4 / min_pitch,
+                                       time_step)
+    return centers
+
+
+def _sample_track(centers, values, query, voiced_aware: bool):
+    """Praat ``Get value at time``: linear interpolation between frame
+    centers, 0 outside the track. For pitch, a query between a voiced and an
+    unvoiced frame is unvoiced (interpolating across the boundary is
+    meaningless); the reference then nan_to_num's Praat's NaNs to 0
+    (audio_utils.py:29-35)."""
+    centers = jnp.asarray(centers, jnp.float32)
+    out = jnp.interp(query, centers, values)
+    inside = (query >= centers[0]) & (query <= centers[-1])
+    if voiced_aware:
+        idx = jnp.clip(jnp.searchsorted(centers, query), 1, len(centers) - 1)
+        either_unvoiced = (values[idx - 1] <= 0) | (values[idx] <= 0)
+        out = jnp.where(either_unvoiced, 0.0, out)
+    return jnp.where(inside, out, 0.0)
+
+
 def compute_prosody(x, fs: int, time_step: float = 0.05):
     """Pitch + intensity tracks sampled like the reference's
-    ``compute_prosody`` (audio_utils.py:20-46): evenly spaced times
-    [0, duration - time_step), Chiu'11 log-normalization."""
-    duration = x.shape[0] / fs
-    n_times = int(np.ceil((duration - time_step) / time_step))
+    ``compute_prosody`` (audio_utils.py:20-46): query times
+    arange(0, duration - time_step, time_step), linear interpolation from the
+    Praat-centered analysis frames, Chiu'11 log-normalization."""
+    n_samples = int(np.asarray(x).shape[0])
+    duration = n_samples / fs
+    query = jnp.asarray(np.arange(0, duration - time_step, time_step),
+                        jnp.float32)
 
     freqs, strengths, _ = pitch_candidates(x, fs=fs, time_step=time_step)
     f0 = viterbi_pitch(freqs, strengths)
     inten = intensity_db(x, fs=fs, time_step=time_step)
 
-    # sample tracks at the query times (frames are centered on
-    # [i*step, i*step + win); nearest-frame lookup like Praat's get_value)
-    f0 = _fit_length(f0, n_times)
-    inten = _fit_length(inten, n_times)
+    pitch_values = _sample_track(
+        pitch_frame_centers(n_samples, fs, time_step), f0, query,
+        voiced_aware=True)
+    intensity_values = _sample_track(
+        intensity_frame_centers(n_samples, fs, time_step), inten, query,
+        voiced_aware=False)
 
-    inten = jnp.clip(inten, np.finfo(np.float32).eps, None)
-    pitch_norm = jnp.clip(jnp.log(f0 + 1.0) - 4.0, 0.0, None)
-    intensity_norm = jnp.clip(jnp.log(inten) - 3.0, 0.0, None)
+    intensity_values = jnp.clip(intensity_values, np.finfo(np.float32).eps,
+                                None)
+    pitch_norm = jnp.clip(jnp.log(pitch_values + 1.0) - 4.0, 0.0, None)
+    intensity_norm = jnp.clip(jnp.log(intensity_values) - 3.0, 0.0, None)
     return pitch_norm, intensity_norm
-
-
-def _fit_length(track, n: int):
-    t = track.shape[0]
-    if t == n:
-        return track
-    if t > n:
-        return track[:n]
-    return jnp.concatenate([track, jnp.full((n - t,), track[-1])])
 
 
 def _derivative(f, dx_ms: float):
