@@ -34,6 +34,8 @@ import numpy as np
 import scipy.signal
 
 WIN_LEN = 9
+STD_EPS = 1e-6   # below this a channel counts as zero-variance (see
+                 # combine_features standardization guard)
 FACE_KINDS = ("flame_expression", "flame_jaw", "flame_neck", "flame_rotation",
               "openface")
 AUDIO_KINDS = ("mfcc", "prosody")
@@ -222,7 +224,23 @@ def combine_features(dataset_dir, output_file, split_spec: dict, fps: int = 25,
             if split == "train":
                 for kind, roles in grand.items():
                     rows = np.vstack([c for c in roles["agent"]])
-                    stds[kind] = rows.std(axis=0)
+                    std = rows.std(axis=0)
+                    # a zero-variance channel (e.g. a FLAME dim pinned by the
+                    # fitter) would standardize to NaN and silently poison
+                    # training; clamp its std so the channel maps to exact 0
+                    # and de-standardization (x*std + mean) still restores the
+                    # constant. The clamped value is what gets written to
+                    # /stds, keeping both directions consistent.
+                    degenerate = std < STD_EPS
+                    if degenerate.any():
+                        import warnings
+
+                        warnings.warn(
+                            f"combine_features: {int(degenerate.sum())} "
+                            f"zero-variance channel(s) in kind '{kind}' — "
+                            "std clamped to 1.0 (constant channels "
+                            "standardize to ~0)", stacklevel=2)
+                    stds[kind] = np.where(degenerate, 1.0, std)
                     means[kind] = rows.mean(axis=0)
                     f.create_dataset(f"/stds/{kind}", data=stds[kind])
                     f.create_dataset(f"/means/{kind}", data=means[kind])

@@ -92,3 +92,45 @@ def test_gap_repair_interpolates():
 def test_gap_repair_gives_up_on_long_gaps():
     success = np.array([True, False, False, False, True])
     assert combine.repair_plan(2, success) is None
+
+
+def test_zero_variance_channel_is_guarded(tmp_path):
+    """A constant channel (e.g. a FLAME dim pinned by the fitter) must not
+    standardize to NaN: its std is clamped to 1.0 with a warning, the chunk
+    stays finite (~0), and de-standardization restores the constant
+    (VERDICT r2 weak #4 / item 4)."""
+    import warnings
+
+    rng = np.random.default_rng(3)
+    _write_session(tmp_path / "S1", rng)
+    for part in ("P1", "P2"):
+        p = tmp_path / "S1" / part / f"flame_{FPS}fps.h5"
+        with h5py.File(p, "r+") as f:
+            exp = f["tf_exp"][...]
+            exp[:, 7] = 3.25
+            del f["tf_exp"]
+            f["tf_exp"] = exp
+
+    spec = {"train": {"S1": [[1000, 7000]]}, "val": {}, "test": {}}
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = combine.combine_features(tmp_path, tmp_path / "out.h5", spec,
+                                       fps=FPS)
+    assert not [w for w in rec if issubclass(w.category, RuntimeWarning)], (
+        "standardization emitted a RuntimeWarning (NaN divide)")
+    guard = [w for w in rec if "zero-variance" in str(w.message)]
+    assert guard, "expected the zero-variance clamp warning"
+
+    with h5py.File(out) as f:
+        stds = f["/stds/flame_expression"][...]
+        means = f["/means/flame_expression"][...]
+        assert np.isfinite(stds).all()
+        assert stds[7] == 1.0
+        n_chunks = len(f["train"]["flame_expression"])
+        rows = np.vstack(
+            [f["train"]["flame_expression"][str(i)]["agent"][()]
+             for i in range(n_chunks)])
+        assert np.isfinite(rows).all()
+        assert np.abs(rows[:, 7]).max() < 1e-4
+        np.testing.assert_allclose(rows[:, 7] * stds[7] + means[7], 3.25,
+                                   atol=1e-4)
