@@ -142,6 +142,64 @@ def bench_batch_scaling(hp, spec, params, batch_sizes=(64, 128, 256, 512,
     return table
 
 
+def bench_streaming(hp, spec, params, n_frames: int = 200):
+    """Per-frame serving latency of the streaming duplex path (BASELINE
+    config 5): a b1 StreamingGenerator driven one conversation frame at a
+    time, with the generated frame fetched back to the host every frame —
+    exactly a live avatar session's round trip. Returns (p50_ms, p99_ms,
+    chained_ms).
+
+    The per-frame fetch makes each iteration a full host round trip, so on
+    the axon remote transport these numbers include tunnel RTT (a production
+    serving host sits next to the chip; docs/PERF.md). ``chained_ms`` is the
+    per-frame cost WITHOUT the per-frame fetch — N-vs-2N difference over a
+    state-chained push loop (in-order execution, so the difference method is
+    valid) — i.e. the device-side step cost."""
+    from lets_face_it_tpu.sample.streaming import StreamingGenerator
+
+    c = spec.channels
+    s = hp.Data["speech_dim"]
+    rng = np.random.default_rng(5)
+    frames = [
+        {"p2_face": jax.numpy.asarray(
+             rng.standard_normal((1, c)).astype(np.float32)),
+         "p1_speech": jax.numpy.asarray(
+             rng.standard_normal((1, s)).astype(np.float32)),
+         "p2_speech": jax.numpy.asarray(
+             rng.standard_normal((1, s)).astype(np.float32))}
+        for _ in range(8)
+    ]
+
+    gen = StreamingGenerator(spec, params, batch_size=1,
+                             eps_std=float(hp.Infer["eps"]))
+    out = gen.push(**frames[0])            # compile
+    np.asarray(out)
+
+    lat = []
+    for i in range(n_frames):
+        inp = frames[i % len(frames)]
+        t0 = time.perf_counter()
+        out = gen.push(**inp)
+        float(out[0, 0])                   # blocking round trip
+        lat.append(time.perf_counter() - t0)
+    lat_ms = np.asarray(lat) * 1e3
+
+    def chained(n):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(n):
+            out = gen.push(**frames[i % len(frames)])
+        _hard_sync(out)
+        return time.perf_counter() - t0
+
+    chained(n_frames)                      # settle the queue
+    t_short = chained(n_frames)
+    t_long = chained(2 * n_frames)
+    chained_ms = max(t_long - t_short, 1e-9) / n_frames * 1e3
+    return (float(np.percentile(lat_ms, 50)),
+            float(np.percentile(lat_ms, 99)), chained_ms)
+
+
 def nll_parity_check(hp, spec, params):
     """Relative NLL error vs the independent float64 torch implementation."""
     try:
@@ -171,6 +229,7 @@ def main():
     # fused kernel (tools/sampling_probe.py r2: 432k/462k/437k/401k f/s at
     # B=64/128/256/512 f32-highest; same shape at bf16)
     fps_batch, _ = bench_sampling(hp, spec, params, batch_size=128)
+    stream_p50, stream_p99, stream_chained = bench_streaming(hp, spec, params)
     train_sps, train_dt = bench_training(hp, spec, params)
     try:
         sps_1024, _ = bench_training(hp, spec, params, batch_size=1024,
@@ -193,8 +252,15 @@ def main():
         "value": round(fps_batch, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps_batch / target, 3),
+        "sampling_batch": 128,
         "sampling_fps_batch1": round(fps_b1, 1),
         "realtime_factor_batch1": round(fps_b1 / REALTIME_FPS, 2),
+        "streaming_frame_latency_ms_p50": round(stream_p50, 3),
+        "streaming_frame_latency_ms_p99": round(stream_p99, 3),
+        "streaming_frame_device_ms_chained": round(stream_chained, 3),
+        # frames the 25-fps budget (40 ms) covers at the p50 round trip
+        "streaming_realtime_headroom": round(
+            (1e3 / REALTIME_FPS) / max(stream_p50, 1e-9), 1),
         "train_steps_per_sec_b256_T80": round(train_sps, 3),
         "train_steps_per_sec_b256_T80_bf16matmul": round(train_sps_fast, 3),
         "sampling_fps_batch1_bf16matmul": round(fps_b1_fast, 1),
