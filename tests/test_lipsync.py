@@ -95,3 +95,57 @@ def test_voca_to_flame_params_get_vocas_roundtrip(tmp_path):
     np.save(vad_dir / "P1.npy", np.zeros(64, np.float32))
     out0 = get_vocas(tmp_path, "P1", "S1", frame_nbs)
     np.testing.assert_array_equal(out0["pose"], 0.0)
+
+
+def test_envelope_lipsync_quantified():
+    """Quantify the EnvelopeLipsync fallback (VERDICT r2 item 7): how
+    audio-locked is the articulation, and how well does it live in FLAME
+    parameter space (the MeshFitter round trip, reference voca.py:27-123)?
+
+    Measured on the graded (unsaturated) synthetic fixture:
+    jaw-vs-raw-RMS-envelope Pearson r = 0.79 with a 50 ms articulation lag
+    (the designed attack/release smoothing); FLAME fit round-trip RMS vertex
+    deviation = 3.4% of the articulation amplitude; fitted jaw pitch tracks
+    the driving jaw at r = 0.97. Numbers recorded in PARITY.md.
+    """
+    from lets_face_it_tpu.features.flame_fit import fit_to_vertices
+    from lets_face_it_tpu.render.flame import flame_vertices
+
+    fps = 60.0
+    t = np.arange(int(2.0 * FS)) / FS
+    carrier = np.sin(2 * np.pi * 150 * t)
+    am = (0.5 * np.clip(np.sin(2 * np.pi * 1.5 * t), 0, None) ** 2
+          + 0.15 * np.clip(np.sin(2 * np.pi * 2.3 * t + 1), 0, None))
+    x = (carrier * am * 0.12).astype(np.float32)   # stays below full-scale
+
+    model = EnvelopeLipsync(MODEL, out_fps=fps)
+    jaw = model.params_for_audio(x, FS)["jaw"][:, 0]
+
+    # independent raw per-frame RMS envelope (no smoothing, no clipping)
+    hop = FS // int(fps)
+    pad = (-len(x)) % hop
+    env = np.sqrt((np.pad(x, (0, pad)).reshape(-1, hop) ** 2
+                   ).mean(axis=1))[:len(jaw)]
+
+    r = np.corrcoef(jaw, env)[0, 1]
+    assert r > 0.7, f"jaw-vs-envelope correlation {r:.3f}"
+
+    j0, e0 = jaw - jaw.mean(), env - env.mean()
+    lag = int(np.argmax(np.correlate(j0, e0, mode="full"))) - (len(jaw) - 1)
+    assert 0 <= lag <= 6, f"articulation lag {lag} frames (> 100 ms)"
+
+    # FLAME-space round trip: meshes -> fit_to_vertices -> re-evaluation
+    template = np.asarray(MODEL.v_template)
+    meshes = model(x, FS, template)[:40]
+    params, _ = fit_to_vertices(MODEL, meshes, n_steps=40)
+    re_eval = (np.asarray(flame_vertices(
+        MODEL, params["shape"], params["exp"], params["jaw"],
+        params["neck"])) + np.asarray(params["trans"])[:, None, :])
+    vert_rms = np.sqrt(((re_eval - meshes) ** 2).sum(-1)).mean()
+    amplitude = np.abs(meshes - template[None]).max()
+    assert vert_rms < 0.08 * amplitude, (
+        f"fit round-trip RMS {vert_rms:.4f} vs amplitude {amplitude:.4f}")
+
+    jaw_fit = np.asarray(params["jaw"])[:, 0]
+    r_jaw = np.corrcoef(jaw_fit, jaw[:40])[0, 1]
+    assert r_jaw > 0.9, f"fitted-vs-driving jaw correlation {r_jaw:.3f}"
