@@ -31,8 +31,10 @@ against the XLA autodiff path is asserted in tests/test_pallas_train.py
 (interpret mode) and re-validated compiled on TPU by tools/fused_train_probe.py.
 
 Envelope: GRU + affine + invconv flows with Mosaic-tileable dims (the final
-model), f32, batch a multiple of 128. Everything else falls back to the XLA
-path (model/seqglow.py gates on ``train_fused_supported``).
+model), batch a multiple of 32 (sublane granularity is 8; 32-row tiles keep
+the final model's b256 fused across a v5e-8 data-parallel mesh — 32 rows
+per shard). Everything else falls back to the XLA path with a loud warning
+(model/seqglow.py gates on ``train_fused_supported``).
 """
 
 from __future__ import annotations

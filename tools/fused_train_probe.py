@@ -81,8 +81,38 @@ def time_step(hp, spec, optimizer, batch, iters):
     return dt, compile_s
 
 
+def small_tile_sweep(seq_len: int, iters: int):
+    """Validate + time the compiled kernels at the small per-shard batches a
+    data-parallel mesh produces (VERDICT r2 item 6): the final model's b256
+    shards to 32 rows on a v5e-8, 64 on a v5e-4. Correctness (values + full
+    gradients vs XLA) and fused-vs-XLA step time at each batch."""
+    from lets_face_it_tpu.model import FlowSpec
+    from lets_face_it_tpu.ops import pallas_train
+
+    for bsz in (32, 64, 128):
+        hp, spec, optimizer, state, batch = build(bsz, seq_len)
+        assert pallas_train.train_fused_supported(spec, bsz), bsz
+        print(f"— per-shard batch {bsz}: compiled correctness —", flush=True)
+        check_correctness(spec, state.params, batch)
+        pallas_train.ENABLED = False
+        base, _ = time_step(hp, spec, optimizer, batch, iters)
+        pallas_train.ENABLED = True
+        dt, compile_s = time_step(hp, spec, optimizer, batch, iters)
+        print(f"b{bsz}: xla={base*1e3:7.1f} ms fused={dt*1e3:7.1f} ms "
+              f"speedup={base/dt:.2f}x (tile={min(bsz, 256)}, "
+              f"compile={compile_s:.0f}s)", flush=True)
+
+
 def main():
     from lets_face_it_tpu.ops import pallas_train
+
+    if len(sys.argv) > 1 and sys.argv[1] == "sweep":
+        seq_len = int(sys.argv[2]) if len(sys.argv) > 2 else 80
+        iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+        dev = jax.devices()[0]
+        print(f"device: {dev.device_kind} ({dev.platform})", flush=True)
+        small_tile_sweep(seq_len, iters)
+        return
 
     bsz = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     seq_len = int(sys.argv[2]) if len(sys.argv) > 2 else 80
