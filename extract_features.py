@@ -256,10 +256,28 @@ def stage_combine(dataset_dir, splits_file, fps, output):
     if output.exists():
         log(f"combine: {output} exists — skipping")
         return
+    _validate_splits_dir(splits_file)
     spec = combine.load_split_spec(splits_file)
     combine.combine_features(dataset_dir, output, spec, fps=fps,
                              progress=lambda s, n: log(f"combine {s}/{n}"))
     log(f"combine: wrote {output}")
+
+
+def _validate_splits_dir(splits_file):
+    """Schema-check the dataset-definition JSONs next to the splits file
+    before spending hours in the pipeline (tools/validate_data_jsons.py);
+    hard-fails on schema errors, logs warnings."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+    from validate_data_jsons import validate_data_dir
+
+    errors, warnings, _ = validate_data_dir(Path(splits_file).parent)
+    for w in warnings:
+        log(f"data-json WARNING: {w}")
+    if errors:
+        for e in errors:
+            log(f"data-json ERROR: {e}")
+        sys.exit(f"{len(errors)} dataset-definition schema error(s); see "
+                 "tools/validate_data_jsons.py")
 
 
 def main():
