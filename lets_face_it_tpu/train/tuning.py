@@ -20,8 +20,11 @@ the same estimator family as the reference's Optuna default — with
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import multiprocessing
+import os
 import traceback
 from pathlib import Path
 
@@ -135,21 +138,49 @@ def _run_trial(hp_dict, batch_size, max_steps, seed, return_dict):
 
 
 class Study:
-    """JSON-file-backed study: trials, best value, resumable."""
+    """JSON-file-backed study: trials, best value, resumable, and safe for
+    N concurrent worker processes (the reference's Optuna-RDB role,
+    config.toml:30-31).
+
+    Concurrency semantics: every read-modify-write of the store happens
+    under an exclusive ``flock`` on a sibling ``.lock`` file, and the JSON
+    is replaced atomically (`os.replace` of a per-process temp file), so
+    workers on the same filesystem never tear or lose records. A worker
+    claims its trial number by appending a ``running`` record under the
+    lock, trains outside the lock, then re-reads and fills in its record.
+    Before sampling each new trial a worker re-reads the store and feeds
+    every *other* worker's completed values to its sampler, so TPE
+    posteriors sharpen across the fleet. ``optimize(n_trials=N)`` runs N
+    trials in the calling worker — launch K workers for K*N total.
+    """
 
     def __init__(self, name: str, storage_dir="tuning_studies"):
         self.name = name
         self.path = Path(storage_dir) / f"{name}.json"
         self.trials: list[dict] = []
+        self._reload()
+
+    @contextlib.contextmanager
+    def _locked(self):
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        with open(self.path.with_suffix(".lock"), "w") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(fh, fcntl.LOCK_UN)
+
+    def _reload(self):
         if self.path.exists():
             self.trials = json.loads(self.path.read_text())["trials"]
 
     def _save(self):
         self.path.parent.mkdir(parents=True, exist_ok=True)
-        best = self.best_trial
-        self.path.write_text(json.dumps(
+        tmp = self.path.with_name(f".{self.path.name}.{os.getpid()}.tmp")
+        tmp.write_text(json.dumps(
             {"name": self.name, "trials": self.trials,
-             "best": best}, indent=2))
+             "best": self.best_trial}, indent=2))
+        os.replace(tmp, self.path)
 
     @property
     def best_trial(self):
@@ -165,27 +196,38 @@ class Study:
         from lets_face_it_tpu.hparams import HParams, validate_hparams
 
         sampler = make_sampler(sampler, seed)
-        # resuming: replay completed trials into the sampler's history
-        for t in self.trials:
-            if t.get("value") is not None:
-                sampler.observe(t["params"], t["value"])
+        observed: set[int] = set()
 
-        start_number = len(self.trials)
-        for i in range(n_trials):
-            number = start_number + i
-            trial = Trial(number, sampler)
-            hp = HParams(**json.loads(json.dumps(base_hparams.to_dict(),
-                                                 default=str)))
-            hp = space_fn(hp, trial)
-            record = {"number": number, "params": trial.params,
-                      "value": None, "state": "running",
-                      "user_attrs": trial.user_attrs}
-            try:
-                validate_hparams(hp)
-            except AssertionError as exc:
-                record.update(state="invalid", note=str(exc))
+        def observe_completed():
+            """Feed every completed trial not yet seen (resumed, or run by a
+            concurrent worker) into this worker's sampler."""
+            for t in self.trials:
+                if t.get("value") is not None and t["number"] not in observed:
+                    sampler.observe(t["params"], t["value"])
+                    observed.add(t["number"])
+
+        for _ in range(n_trials):
+            # claim a trial number: append the running record under the lock
+            with self._locked():
+                self._reload()
+                observe_completed()
+                number = len(self.trials)
+                trial = Trial(number, sampler)
+                hp = HParams(**json.loads(json.dumps(base_hparams.to_dict(),
+                                                     default=str)))
+                hp = space_fn(hp, trial)
+                record = {"number": number, "params": trial.params,
+                          "value": None, "state": "running",
+                          "user_attrs": trial.user_attrs}
+                invalid = None
+                try:
+                    validate_hparams(hp)
+                except AssertionError as exc:
+                    invalid = str(exc)
+                    record.update(state="invalid", note=invalid)
                 self.trials.append(record)
                 self._save()
+            if invalid is not None:
                 continue
 
             batch_size = hp.batch_size
@@ -197,25 +239,37 @@ class Study:
                     continue
                 break
             else:
-                record.update(state="failed", note="batch size < 2 after OOM")
-                self.trials.append(record)
-                self._save()
-                continue
+                result = None
 
-            record["user_attrs"]["batch_size"] = batch_size
-            if "val_loss" in result:
-                record.update(value=result["val_loss"], state="complete")
+            # fill in the claimed record (other workers may have appended
+            # records meanwhile — find ours by number after a fresh read)
+            with self._locked():
+                self._reload()
+                record = next(t for t in self.trials
+                              if t["number"] == number)
+                if result is None:
+                    record.update(state="failed",
+                                  note="batch size < 2 after OOM")
+                else:
+                    record["user_attrs"]["batch_size"] = batch_size
+                    if "val_loss" in result:
+                        record.update(value=result["val_loss"],
+                                      state="complete")
+                    elif "pruned" in result:
+                        record.update(state="pruned", note=result["pruned"])
+                    elif "early_stop" in result:
+                        record.update(state="complete",
+                                      note=result["early_stop"])
+                    else:
+                        record.update(state="failed",
+                                      note=result.get("error", "unknown"),
+                                      traceback=result.get("traceback"))
+                self._save()
+            if result and "val_loss" in result:
                 sampler.observe(trial.params, result["val_loss"])
-            elif "pruned" in result:
-                record.update(state="pruned", note=result["pruned"])
-            elif "early_stop" in result:
-                record.update(state="complete", note=result["early_stop"])
-            else:
-                record.update(state="failed",
-                              note=result.get("error", "unknown"),
-                              traceback=result.get("traceback"))
-            self.trials.append(record)
-            self._save()
+                observed.add(number)
+        with self._locked():
+            self._reload()
         return self.best_trial
 
     @staticmethod

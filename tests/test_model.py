@@ -202,3 +202,19 @@ def test_actnorm_sequential_init(hp, batch):
     # only actnorm leaves changed
     assert np.allclose(np.asarray(new_flow["perm"]["log_s"]),
                        np.asarray(params.flow["perm"]["log_s"]))
+
+
+def test_sample_mesh_requires_seq_fused_path(hp, batch):
+    """A mesh with the per-frame scan path would be silently ignored
+    (pallas_calls exposed to GSPMD on sharded inputs) — it must raise."""
+    import pytest
+
+    from lets_face_it_tpu.parallel import mesh as pmesh
+
+    spec, params = build(hp)
+    data = {k: jnp.asarray(v) for k, v in batch.items()}
+    with pytest.raises(ValueError, match="whole-sequence fused"):
+        sequence_sample(spec, params, data, hp.Validation["seq_len"],
+                        eps_std=1.0, rng=jax.random.PRNGKey(0),
+                        use_fused=False, use_seq_fused=False,
+                        mesh=pmesh.make_mesh(8))

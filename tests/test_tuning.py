@@ -101,3 +101,54 @@ def test_study_oom_halving_and_persistence(tmp_path, hp, monkeypatch):
     study2 = Study("test_study", storage_dir=tmp_path)
     assert len(study2.trials) == 3
     assert study2.best_trial["number"] == best["number"]
+
+
+def test_concurrent_workers_share_study(tmp_path, hp):
+    """Two worker processes drive the same flock-guarded JSON study
+    (the reference's Optuna-RDB concurrency, config.toml:30-31): trial
+    numbers stay unique, no record is lost to a torn write, and both
+    workers' completed values land in one consistent store."""
+    import json as js
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    hp.batch_size = 4
+    hp_file = tmp_path / "hp.json"
+    hp_file.write_text(js.dumps(hp.to_dict(), default=str))
+
+    script = f"""
+import json, sys, time
+sys.path.insert(0, {str(repo)!r})
+from lets_face_it_tpu.hparams import HParams
+from lets_face_it_tpu.train.tuning import Study
+
+idx = int(sys.argv[1])
+
+def fake_execute(hp, batch_size, max_steps, seed, use_subprocess):
+    time.sleep(0.1)   # force interleaving between the two workers
+    return {{"val_loss": float((hp.lr - 0.003) ** 2)}}
+
+Study._execute = staticmethod(fake_execute)
+
+def space(h, trial):
+    h.lr = trial.suggest_uniform("lr", 0.0, 0.01)
+    return h
+
+hp = HParams(**json.loads(open({str(hp_file)!r}).read()))
+study = Study("cstudy", {str(tmp_path)!r})
+study.optimize(hp, space, n_trials=3, seed=1009 * idx,
+               use_subprocess=False, sampler="tpe")
+"""
+    procs = [subprocess.Popen([sys.executable, "-c", script, str(i)])
+             for i in (0, 1)]
+    for p in procs:
+        assert p.wait(timeout=300) == 0
+
+    study = Study("cstudy", tmp_path)
+    assert len(study.trials) == 6
+    assert sorted(t["number"] for t in study.trials) == list(range(6))
+    assert all(t["state"] == "complete" for t in study.trials)
+    assert study.best_trial is not None
+    assert all(0.0 <= t["params"]["lr"] <= 0.01 for t in study.trials)
