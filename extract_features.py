@@ -270,7 +270,8 @@ def _validate_splits_dir(splits_file):
     sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
     from validate_data_jsons import validate_data_dir
 
-    errors, warnings, _ = validate_data_dir(Path(splits_file).parent)
+    errors, warnings, _ = validate_data_dir(Path(splits_file).parent,
+                                            splits_file=splits_file)
     for w in warnings:
         log(f"data-json WARNING: {w}")
     if errors:

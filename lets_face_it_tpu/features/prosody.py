@@ -240,17 +240,25 @@ def intensity_frame_centers(n_samples: int, fs: float,
 
 def _sample_track(centers, values, query, voiced_aware: bool):
     """Praat ``Get value at time``: linear interpolation between frame
-    centers, 0 outside the track. For pitch, a query between a voiced and an
-    unvoiced frame is unvoiced (interpolating across the boundary is
-    meaningless); the reference then nan_to_num's Praat's NaNs to 0
-    (audio_utils.py:29-35)."""
+    centers, 0 outside the track. For pitch, a query strictly between a
+    voiced and an unvoiced frame is unvoiced (interpolating across the
+    boundary is meaningless), but a query ON a frame center takes that
+    frame's own value — Praat reports the frame, neighbours regardless.
+    The reference then nan_to_num's Praat's NaNs to 0
+    (audio_utils.py:29-35). Coincidence tolerance 0.1 ms absorbs the
+    float32 center/query rounding (frame steps are >= 10 ms)."""
     centers = jnp.asarray(centers, jnp.float32)
     out = jnp.interp(query, centers, values)
     inside = (query >= centers[0]) & (query <= centers[-1])
     if voiced_aware:
         idx = jnp.clip(jnp.searchsorted(centers, query), 1, len(centers) - 1)
         either_unvoiced = (values[idx - 1] <= 0) | (values[idx] <= 0)
-        out = jnp.where(either_unvoiced, 0.0, out)
+        on_left = jnp.abs(query - centers[idx - 1]) < 1e-4
+        on_right = jnp.abs(query - centers[idx]) < 1e-4
+        out = jnp.where(
+            on_left, values[idx - 1],
+            jnp.where(on_right, values[idx],
+                      jnp.where(either_unvoiced, 0.0, out)))
     return jnp.where(inside, out, 0.0)
 
 

@@ -3,11 +3,21 @@
 This is a from-the-paper NumPy implementation of the algorithms behind
 Praat's ``Sound: To Pitch (ac)`` (Boersma 1993, "Accurate short-term
 analysis of the fundamental frequency...") and ``Sound: To Intensity``.
-It deliberately shares no code with the production JAX implementation in
-``lets_face_it_tpu/features/prosody.py`` — different frame layout (Praat's
-centered frames), different peak refinement (sinc upsampling instead of
-parabolic), plain-Python Viterbi — so agreement between the two is evidence
-of correctness rather than of shared bugs.
+It shares no *code* with the production JAX implementation in
+``lets_face_it_tpu/features/prosody.py``: float64 direct ``np.correlate``
+autocorrelation vs float32 batched FFT, per-frame Python loops vs
+vectorized gathers, a separately written Viterbi. The *algorithmic*
+choices, however, are the same published ones by design — Praat's centered
+frame comb, band-limited sinc peak refinement on a fine lag grid, the
+Kaiser-20 intensity window — so since round 3 (which adopted those choices
+in the production path to close the measured gaps) agreement between the
+two validates implementation correctness against the published algorithm,
+NOT independence at the algorithm level: a shared deviation from real
+Praat's internals (e.g. Praat refines the autocorrelation maximum
+continuously rather than on a fixed 1/16-sample grid, and folds r > 1
+candidates) would not be caught. Real parselmouth/Praat remains the
+preferred golden when importable (tools/make_prosody_golden.py records
+provenance in the file).
 
 ``tools/make_prosody_golden.py`` prefers real parselmouth/Praat when it is
 importable and falls back to this module (recording the provenance in the
@@ -197,10 +207,17 @@ def _sample_track(times: np.ndarray, values: np.ndarray,
     out = np.interp(query, times, values, left=np.nan, right=np.nan)
     if voiced_aware:
         # linear interpolation across a voiced/unvoiced boundary is
-        # meaningless — declare the query unvoiced if either neighbour is
+        # meaningless — declare the query unvoiced if either neighbour is;
+        # but a query ON a frame center (0.1 ms tolerance) reports that
+        # frame's own value, as Praat does
         idx = np.searchsorted(times, query).clip(1, len(times) - 1)
         either_unvoiced = (values[idx - 1] <= 0) | (values[idx] <= 0)
-        out = np.where(either_unvoiced, 0.0, out)
+        on_left = np.abs(query - times[idx - 1]) < 1e-4
+        on_right = np.abs(query - times[idx]) < 1e-4
+        out = np.where(
+            on_left, values[idx - 1],
+            np.where(on_right, values[idx],
+                     np.where(either_unvoiced, 0.0, out)))
     return np.nan_to_num(out)
 
 

@@ -116,8 +116,9 @@ def validate_annotations(ann, split_sessions, errors, warnings):
 
 
 def validate_meta(meta, split_sessions, errors, warnings):
-    if (not isinstance(meta, dict) or "sessions" not in meta
-            or "subjects" not in meta):
+    if (not isinstance(meta, dict)
+            or not isinstance(meta.get("sessions"), dict)
+            or not isinstance(meta.get("subjects"), dict)):
         errors.append('meta_data.json: must contain "sessions" and '
                       '"subjects" maps')
         return
@@ -148,15 +149,20 @@ def validate_meta(meta, split_sessions, errors, warnings):
                         f"{sorted(missing)[:5]}...")
 
 
-def validate_data_dir(data_dir) -> tuple[list[str], list[str], dict]:
-    """Returns (errors, warnings, summary)."""
+def validate_data_dir(data_dir, splits_file=None
+                      ) -> tuple[list[str], list[str], dict]:
+    """Returns (errors, warnings, summary). ``splits_file`` overrides the
+    split-spec path (default ``<data_dir>/train_val_test.json``) — callers
+    with a custom-named splits file must pass the file they actually
+    consume, not rely on the conventional name existing next to it."""
     data_dir = Path(data_dir)
     errors: list[str] = []
     warnings: list[str] = []
     summary: dict = {}
 
     split_sessions: set[str] = set()
-    splits_path = data_dir / "train_val_test.json"
+    splits_path = (Path(splits_file) if splits_file is not None
+                   else data_dir / "train_val_test.json")
     if splits_path.exists():
         try:
             spec = json.loads(splits_path.read_text())
@@ -170,9 +176,9 @@ def validate_data_dir(data_dir) -> tuple[list[str], list[str], dict]:
                                        and len(iv) == 2) / 3.6e6, 2)}
                 for s, v in spec.items() if isinstance(v, dict)}
         except json.JSONDecodeError as exc:
-            errors.append(f"train_val_test.json: invalid JSON ({exc})")
+            errors.append(f"{splits_path.name}: invalid JSON ({exc})")
     else:
-        errors.append("train_val_test.json: missing (required by "
+        errors.append(f"{splits_path.name}: missing (required by "
                       "combine_features and segment tooling)")
 
     for name, fn in (("annotations.json", validate_annotations),
