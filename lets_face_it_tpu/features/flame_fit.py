@@ -272,14 +272,28 @@ def fit_session_participant(part_dir, fps: int, *, model=None, emb=None,
         hi = min(lo + batch_frames, n)
         chunk_init = ({k: v[lo:hi] for k, v in init.items()}
                       if init else None)
-        params, _ = fit_batch(model, emb, targets[lo:hi], chunk_init,
+        # pad a ragged final chunk to the full batch shape: the batched
+        # two-stage solve compiles in ~minutes at real FLAME size, and a
+        # distinct remainder shape per session would recompile every time
+        # (edge targets repeat the last frame; padded rows are sliced off)
+        pad = batch_frames - (hi - lo)
+        chunk_targets = targets[lo:hi]
+        if pad and n >= batch_frames:
+            chunk_targets = np.concatenate(
+                [chunk_targets, np.repeat(chunk_targets[-1:], pad, axis=0)])
+            if chunk_init:
+                chunk_init = {k: np.concatenate(
+                    [v, np.repeat(v[-1:], pad, axis=0)])
+                    for k, v in chunk_init.items()}
+        params, _ = fit_batch(model, emb, chunk_targets, chunk_init,
                               stage1_steps=stage1_steps,
                               stage2_steps=stage2_steps)
-        results["tf_trans"].append(np.asarray(params["trans"]))
-        results["tf_rot"].append(np.asarray(params["rot"]))
-        results["tf_pose"].append(np.asarray(params["pose"]))
-        results["tf_shape"].append(np.asarray(params["shape"]))
-        results["tf_exp"].append(np.asarray(params["exp"]))
+        keep = hi - lo
+        results["tf_trans"].append(np.asarray(params["trans"])[:keep])
+        results["tf_rot"].append(np.asarray(params["rot"])[:keep])
+        results["tf_pose"].append(np.asarray(params["pose"])[:keep])
+        results["tf_shape"].append(np.asarray(params["shape"])[:keep])
+        results["tf_exp"].append(np.asarray(params["exp"])[:keep])
 
     out_file = part_dir / f"flame_{fps}fps.h5"
     with h5py.File(out_file, "w") as f:

@@ -117,6 +117,16 @@ def test_fit_session_participant(tmp_path):
         assert f["tf_rot"].shape == (n, 3)
         assert np.isfinite(f["tf_rot"][()]).all()
 
+    # ragged final chunk: batch_frames=4 over n=6 pads the 2-frame
+    # remainder to the full chunk shape (one compile, not one per
+    # remainder) and slices the padding back off
+    out.unlink()
+    out2 = flame_fit.fit_session_participant(part, 25, model=MODEL, emb=EMB,
+                                             batch_frames=4)
+    with h5py.File(out2) as f:
+        assert f["tf_pose"].shape == (n, 12)
+        assert np.isfinite(f["tf_pose"][()]).all()
+
 
 def test_fit_to_vertices_recovers_expression():
     """Vertex-target fitting (the VOCA mesh-fitter role)."""
