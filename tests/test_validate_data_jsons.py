@@ -70,3 +70,11 @@ def test_reference_shipped_jsons_validate_clean():
     errors, _, summary = validate_data_dir(REFERENCE_DATA)
     assert errors == []
     assert summary["splits"]["train"]["sessions"] == 52
+
+
+def test_shipped_example_jsons_validate_clean():
+    """The synthetic data/example/ directory must stay schema-complete."""
+    example = Path(__file__).resolve().parent.parent / "data" / "example"
+    errors, warnings, summary = validate_data_dir(example)
+    assert errors == [] and warnings == []
+    assert summary["splits"]["train"]["sessions"] == 2
