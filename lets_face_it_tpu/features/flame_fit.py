@@ -272,13 +272,19 @@ def fit_session_participant(part_dir, fps: int, *, model=None, emb=None,
         hi = min(lo + batch_frames, n)
         chunk_init = ({k: v[lo:hi] for k, v in init.items()}
                       if init else None)
-        # pad a ragged final chunk to the full batch shape: the batched
-        # two-stage solve compiles in ~minutes at real FLAME size, and a
-        # distinct remainder shape per session would recompile every time
-        # (edge targets repeat the last frame; padded rows are sliced off)
-        pad = batch_frames - (hi - lo)
+        # pad ragged chunks up to a quantized shape: the batched two-stage
+        # solve compiles in ~minutes at real FLAME size and the jit cache is
+        # shape-keyed, so a distinct shape per session remainder (or per
+        # short clip) would recompile every time. Quantizing to multiples
+        # of 32 bounds the number of compiled shapes while keeping short
+        # clips cheap (edge targets repeat the last frame; padded rows are
+        # sliced off)
+        keep = hi - lo
+        quantum = min(batch_frames, 32)
+        padded = min(batch_frames, -(-keep // quantum) * quantum)
+        pad = padded - keep
         chunk_targets = targets[lo:hi]
-        if pad and n >= batch_frames:
+        if pad:
             chunk_targets = np.concatenate(
                 [chunk_targets, np.repeat(chunk_targets[-1:], pad, axis=0)])
             if chunk_init:
@@ -288,7 +294,6 @@ def fit_session_participant(part_dir, fps: int, *, model=None, emb=None,
         params, _ = fit_batch(model, emb, chunk_targets, chunk_init,
                               stage1_steps=stage1_steps,
                               stage2_steps=stage2_steps)
-        keep = hi - lo
         results["tf_trans"].append(np.asarray(params["trans"])[:keep])
         results["tf_rot"].append(np.asarray(params["rot"])[:keep])
         results["tf_pose"].append(np.asarray(params["pose"])[:keep])

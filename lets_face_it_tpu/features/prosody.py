@@ -242,24 +242,33 @@ def _sample_track(centers, values, query, voiced_aware: bool):
     """Praat ``Get value at time``: linear interpolation between frame
     centers, 0 outside the track. For pitch, a query strictly between a
     voiced and an unvoiced frame is unvoiced (interpolating across the
-    boundary is meaningless), but a query ON a frame center takes that
-    frame's own value — Praat reports the frame, neighbours regardless.
-    The reference then nan_to_num's Praat's NaNs to 0
-    (audio_utils.py:29-35). Coincidence tolerance 0.1 ms absorbs the
-    float32 center/query rounding (frame steps are >= 10 ms)."""
-    centers = jnp.asarray(centers, jnp.float32)
-    out = jnp.interp(query, centers, values)
-    inside = (query >= centers[0]) & (query <= centers[-1])
+    boundary is meaningless), but a query ON a frame center (0.1 ms
+    tolerance, edges included) takes that frame's own value — Praat
+    reports the frame, neighbours regardless. The reference then
+    nan_to_num's Praat's NaNs to 0 (audio_utils.py:29-35).
+
+    Runs on the HOST in float64: the time grids of an hour-long session
+    cannot be represented in float32 at sub-tolerance precision (one f32
+    ulp at t = 2000 s is 0.24 ms), and this is trivial [N]-length work —
+    only the per-frame analysis above belongs on the accelerator."""
+    centers = np.asarray(centers, np.float64)
+    values = np.asarray(values, np.float64)
+    query = np.asarray(query, np.float64)
+    out = np.interp(query, centers, values)
+    idx = np.clip(np.searchsorted(centers, query), 1, len(centers) - 1)
+    on_left = np.abs(query - centers[idx - 1]) < 1e-4
+    on_right = np.abs(query - centers[idx]) < 1e-4
     if voiced_aware:
-        idx = jnp.clip(jnp.searchsorted(centers, query), 1, len(centers) - 1)
         either_unvoiced = (values[idx - 1] <= 0) | (values[idx] <= 0)
-        on_left = jnp.abs(query - centers[idx - 1]) < 1e-4
-        on_right = jnp.abs(query - centers[idx]) < 1e-4
-        out = jnp.where(
+        out = np.where(
             on_left, values[idx - 1],
-            jnp.where(on_right, values[idx],
-                      jnp.where(either_unvoiced, 0.0, out)))
-    return jnp.where(inside, out, 0.0)
+            np.where(on_right, values[idx],
+                     np.where(either_unvoiced, 0.0, out)))
+    else:
+        out = np.where(on_left, values[idx - 1],
+                       np.where(on_right, values[idx], out))
+    inside = ((query >= centers[0]) & (query <= centers[-1])) | on_left | on_right
+    return np.where(inside, out, 0.0)
 
 
 def compute_prosody(x, fs: int, time_step: float = 0.05):
@@ -269,8 +278,7 @@ def compute_prosody(x, fs: int, time_step: float = 0.05):
     Praat-centered analysis frames, Chiu'11 log-normalization."""
     n_samples = int(np.asarray(x).shape[0])
     duration = n_samples / fs
-    query = jnp.asarray(np.arange(0, duration - time_step, time_step),
-                        jnp.float32)
+    query = np.arange(0, duration - time_step, time_step)
 
     freqs, strengths, _ = pitch_candidates(x, fs=fs, time_step=time_step)
     f0 = viterbi_pitch(freqs, strengths)
@@ -283,10 +291,12 @@ def compute_prosody(x, fs: int, time_step: float = 0.05):
         intensity_frame_centers(n_samples, fs, time_step), inten, query,
         voiced_aware=False)
 
-    intensity_values = jnp.clip(intensity_values, np.finfo(np.float32).eps,
-                                None)
-    pitch_norm = jnp.clip(jnp.log(pitch_values + 1.0) - 4.0, 0.0, None)
-    intensity_norm = jnp.clip(jnp.log(intensity_values) - 3.0, 0.0, None)
+    intensity_values = np.clip(intensity_values, np.finfo(np.float32).eps,
+                               None)
+    pitch_norm = jnp.asarray(
+        np.clip(np.log(pitch_values + 1.0) - 4.0, 0.0, None), jnp.float32)
+    intensity_norm = jnp.asarray(
+        np.clip(np.log(intensity_values) - 3.0, 0.0, None), jnp.float32)
     return pitch_norm, intensity_norm
 
 

@@ -72,26 +72,50 @@ def main():
     emb = flame_fit.synthetic_landmark_embedding(model, 51, seed=2)
     targets = make_targets(model, emb, batch)
 
-    run = jax.jit(lambda t: flame_fit.fit_batch(model, emb, t))
+    # the perturbation stays under the jit: an eager add per iteration would
+    # be a host round trip inside the timing loop (CLAUDE.md axon rules)
+    run = jax.jit(lambda t, i: flame_fit.fit_batch(model, emb, t + i * 1e-4))
 
     t0 = time.perf_counter()
-    params, losses = run(targets)
+    params, losses = run(targets, jnp.zeros(()))
     hard_sync(losses)
     compile_s = time.perf_counter() - t0
     final_loss = float(jnp.median(losses))
-    print(f"compile+first: {compile_s:.0f}s; median final loss "
-          f"{final_loss:.3e} over {batch} frames", flush=True)
 
-    def timed(n):
+    # convergence in interpretable units: re-project the fitted landmarks
+    # and measure pixel RMS against the targets (the raw loss is
+    # spread-normalized and carries regularizers)
+    @jax.jit
+    def px_rms(params, targets):
+        def one(p, target):
+            lmks = flame_fit.model_landmarks(
+                model, emb, {k: p[k] for k in
+                             ("trans", "rot", "pose", "shape", "exp")})
+            proj = p["scale"] * lmks[:, :2]
+            return jnp.sqrt(jnp.mean(jnp.sum((proj - target) ** 2, axis=-1)))
+        return jax.vmap(one)(params, targets)
+
+    err = np.asarray(px_rms(params, targets))
+    print(f"compile+first: {compile_s:.0f}s; median final loss "
+          f"{final_loss:.3e}; landmark px RMS median "
+          f"{np.median(err):.2f} / p95 {np.percentile(err, 95):.2f} "
+          f"(1024-px image) over {batch} frames", flush=True)
+
+    # pre-staged perturbation scalars: a per-iteration device_put would be
+    # its own dispatch inside the timing loop
+    scalars = [jnp.asarray(float(i + 1)) for i in range(3 * iters)]
+    jax.block_until_ready(scalars)
+
+    def timed(ks):
         out = None
         t0 = time.perf_counter()
-        for i in range(n):
-            out = run(targets + i * 1e-4)   # distinct inputs, same shapes
+        for k in ks:
+            out = run(targets, k)
         hard_sync(out[1])
         return time.perf_counter() - t0
 
-    t_short = timed(iters)
-    t_long = timed(2 * iters)
+    t_short = timed(scalars[:iters])
+    t_long = timed(scalars[iters:])
     dt = max(t_long - t_short, 1e-9) / iters
     fps = batch / dt
     corpus_h = CORPUS_FRAMES / fps / 3600

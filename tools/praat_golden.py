@@ -205,19 +205,22 @@ def _sample_track(times: np.ndarray, values: np.ndarray,
     """Praat ``get_value_at_time``-style sampling: linear interpolation,
     NaN→0 outside/unvoiced (the reference then np.nan_to_num's it)."""
     out = np.interp(query, times, values, left=np.nan, right=np.nan)
+    # a query ON a frame center (0.1 ms tolerance, edges included) reports
+    # that frame's own value, as Praat does; for pitch, interpolation
+    # across a voiced/unvoiced boundary is meaningless — the query is
+    # unvoiced if either neighbour is
+    idx = np.searchsorted(times, query).clip(1, len(times) - 1)
+    on_left = np.abs(query - times[idx - 1]) < 1e-4
+    on_right = np.abs(query - times[idx]) < 1e-4
     if voiced_aware:
-        # linear interpolation across a voiced/unvoiced boundary is
-        # meaningless — declare the query unvoiced if either neighbour is;
-        # but a query ON a frame center (0.1 ms tolerance) reports that
-        # frame's own value, as Praat does
-        idx = np.searchsorted(times, query).clip(1, len(times) - 1)
         either_unvoiced = (values[idx - 1] <= 0) | (values[idx] <= 0)
-        on_left = np.abs(query - times[idx - 1]) < 1e-4
-        on_right = np.abs(query - times[idx]) < 1e-4
         out = np.where(
             on_left, values[idx - 1],
             np.where(on_right, values[idx],
                      np.where(either_unvoiced, 0.0, out)))
+    else:
+        out = np.where(on_left, values[idx - 1],
+                       np.where(on_right, values[idx], out))
     return np.nan_to_num(out)
 
 

@@ -47,45 +47,45 @@ def _check_interval(iv, where, errors, expect_len):
     return True
 
 
-def validate_splits(spec, errors, warnings):
+def validate_splits(spec, errors, warnings, fname="train_val_test.json"):
     sessions = set()
     if not isinstance(spec, dict):
-        errors.append("train_val_test.json: top level must be "
+        errors.append(f"{fname}: top level must be "
                       "{split: {session: [[start_ms, stop_ms], ...]}}")
         return sessions
     unknown = set(spec) - KNOWN_SPLITS
     if unknown:
-        warnings.append(f"train_val_test.json: unknown split(s) "
+        warnings.append(f"{fname}: unknown split(s) "
                         f"{sorted(unknown)} (consumed: train/val/test"
                         f"/heldout_interaction)")
     for need in ("train", "val", "test"):
         if need not in spec:
-            warnings.append(f"train_val_test.json: split {need!r} missing")
+            warnings.append(f"{fname}: split {need!r} missing")
     for split, by_session in spec.items():
         if split == "heldout_interaction" and isinstance(by_session, str):
             # the real file names the user-study heldout session by id only
             sessions.add(by_session)
             continue
         if not isinstance(by_session, dict):
-            errors.append(f"train_val_test.json[{split!r}]: must map "
+            errors.append(f"{fname}[{split!r}]: must map "
                           "session -> interval list")
             continue
         for session, intervals in by_session.items():
             sessions.add(str(session))
             if not isinstance(intervals, list) or not intervals:
-                errors.append(f"train_val_test.json[{split!r}][{session!r}]:"
+                errors.append(f"{fname}[{split!r}][{session!r}]:"
                               " empty or non-list interval set")
                 continue
             spans = []
             for i, iv in enumerate(intervals):
-                where = f"train_val_test.json[{split!r}][{session!r}][{i}]"
+                where = f"{fname}[{split!r}][{session!r}][{i}]"
                 if _check_interval(iv, where, errors, 2):
                     spans.append(tuple(iv))
             spans.sort()
             for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
                 if b0 < a1:
                     warnings.append(
-                        f"train_val_test.json[{split!r}][{session!r}]: "
+                        f"{fname}[{split!r}][{session!r}]: "
                         f"overlapping intervals [{a0}, {a1}] and [{b0}, {b1}]"
                         " — windows will be duplicated")
     return sessions
@@ -166,7 +166,8 @@ def validate_data_dir(data_dir, splits_file=None
     if splits_path.exists():
         try:
             spec = json.loads(splits_path.read_text())
-            split_sessions = validate_splits(spec, errors, warnings)
+            split_sessions = validate_splits(spec, errors, warnings,
+                                             splits_path.name)
             summary["splits"] = {
                 s: {"sessions": len(v),
                     "hours": round(sum(iv[1] - iv[0]
