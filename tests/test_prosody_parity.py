@@ -106,3 +106,38 @@ def test_normalized_prosody_matches_golden_driver(golden):
     di = np.abs(inten_j - inten_g)
     assert dp.max() < 1e-3, f"pitch_norm max |diff| {dp.max():.5f}"
     assert di.max() < 1e-3, f"intensity_norm max |diff| {di.max():.5f}"
+
+
+def test_sample_track_on_center_and_long_session_semantics():
+    """_sample_track edge semantics (round-3 review): a query ON a frame
+    center reports that frame's own value (voiced neighbours regardless,
+    edges included), interior voiced/unvoiced gaps stay zeroed, and the
+    float64 host implementation keeps the 0.1 ms tolerance working at
+    hour-scale timestamps (float32 grids lose it past ~17 min)."""
+    from lets_face_it_tpu.features.prosody import _sample_track
+
+    # a track starting ~33 minutes in: f32 time grids cannot represent
+    # these centers to within the tolerance
+    base = 2000.0
+    centers = base + np.arange(6) * 0.05
+    values = np.array([0.0, 120.0, 0.0, 130.0, 140.0, 0.0])
+
+    # queries exactly on centers -> the frame's own value
+    out = _sample_track(centers, values, centers.copy(), voiced_aware=True)
+    np.testing.assert_allclose(out, values)
+
+    # strictly interior query between voiced and unvoiced -> unvoiced
+    q = np.array([base + 0.125])          # between centers 2 (0) and 3 (130)
+    assert _sample_track(centers, values, q, voiced_aware=True)[0] == 0.0
+    # ... and between two voiced frames -> linear interpolation
+    q = np.array([base + 0.175])          # between 130 and 140
+    np.testing.assert_allclose(
+        _sample_track(centers, values, q, voiced_aware=True)[0], 135.0)
+
+    # outside the track -> 0, except within tolerance of the edge center
+    q = np.array([base - 1.0, base + 5.0, base + 0.25 + 5e-5])
+    out = _sample_track(centers, values, q, voiced_aware=True)
+    np.testing.assert_allclose(out, [0.0, 0.0, 0.0])  # last center unvoiced
+    q = np.array([base + 0.2 + 5e-5])     # just past a voiced frame center
+    np.testing.assert_allclose(
+        _sample_track(centers, values, q, voiced_aware=True)[0], 140.0)
