@@ -52,8 +52,12 @@ def torch_sequence_nll(state, hp, batch):
     gru_states = [None] * k_steps
     losses = []
     for ts in range(start, seq_len):
-        # conditioning: own face [t-h, t) flattened; others (t-h, t] via GRU
-        parts = [x[:, ts - cond_cfg["p1_face"]["history"]:ts].reshape(b, -1)]
+        # conditioning: own face [t-h, t) flattened (absent in the no_face
+        # ablation, p1_face.dim 0); others (t-h, t] via GRU
+        parts = []
+        if cond_cfg["p1_face"].get("dim", c):
+            parts.append(
+                x[:, ts - cond_cfg["p1_face"]["history"]:ts].reshape(b, -1))
         for name, data in (("p2_face", p2_face),
                            ("p1_speech", speech["p1_speech"]),
                            ("p2_speech", speech["p2_speech"])):

@@ -56,3 +56,48 @@ def test_sequence_nll_matches_independent_torch():
 
     assert float(loss_jax) == pytest.approx(loss_torch, rel=2e-5), (
         float(loss_jax), loss_torch)
+
+
+def test_ablation_configs_match_independent_torch():
+    """The no_speech / no_face ablation shapes (reference
+    hparams/no_speech.yaml, no_face.yaml: disabled modalities via history 0
+    or dim 0) must evaluate identically in the independent torch
+    implementation too — the ablation NLLs are what the paper's Table 1
+    compares."""
+    rng = np.random.default_rng(0)
+    batch = {
+        "p1_face": rng.standard_normal((3, 32, 56)).astype(np.float32),
+        "p2_face": rng.standard_normal((3, 32, 56)).astype(np.float32),
+        "p1_speech": rng.standard_normal((3, 32, 30)).astype(np.float32),
+        "p2_speech": rng.standard_normal((3, 32, 30)).astype(np.float32),
+    }
+    from lets_face_it_tpu.model import flow as flow_mod
+
+    ablations = {
+        # no_speech.yaml: interlocutor speech disabled via history 0
+        "no_speech": {"p2_speech": {"dropout": 0.3, "enc": "rnn",
+                                    "hidden_dim": None, "history": 0}},
+        # no_face.yaml: own face off via dim 0, interlocutor face via
+        # history 0 + dim 0
+        "no_face": {"p1_face": {"dropout": 0, "enc": "none",
+                                "hidden_dim": 32, "history": 16, "dim": 0},
+                    "p2_face": {"dropout": 0.6, "enc": "rnn",
+                                "hidden_dim": 32, "history": 0, "dim": 0}},
+    }
+    for name, cond_over in ablations.items():
+        hp = final_like_hparams()
+        hp.Conditioning.update(cond_over)
+        spec = FlowSpec.build(hp)
+        params = init_seqglow(jax.random.PRNGKey(3), spec)
+        mask = flow_mod.trainable_mask(params.flow)
+        pflow = jax.tree.map(
+            lambda x, m: x + 0.05 * jax.random.normal(
+                jax.random.PRNGKey(8), x.shape) if m else x,
+            params.flow, mask)
+        params = params._replace(flow=pflow)
+
+        _, loss_jax, _ = seqglow.sequence_nll(spec, params, batch)
+        loss_torch = torch_sequence_nll(export_state_dict(params, spec), hp,
+                                        batch)
+        assert float(loss_jax) == pytest.approx(loss_torch, rel=2e-5), (
+            name, float(loss_jax), loss_torch)
