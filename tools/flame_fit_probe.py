@@ -103,7 +103,7 @@ def main():
 
     # pre-staged perturbation scalars: a per-iteration device_put would be
     # its own dispatch inside the timing loop
-    scalars = [jnp.asarray(float(i + 1)) for i in range(3 * iters)]
+    scalars = [jnp.asarray(float(i + 1)) for i in range(9 * iters)]
     jax.block_until_ready(scalars)
 
     def timed(ks):
@@ -114,9 +114,21 @@ def main():
         hard_sync(out[1])
         return time.perf_counter() - t0
 
-    t_short = timed(scalars[:iters])
-    t_long = timed(scalars[iters:])
-    dt = max(t_long - t_short, 1e-9) / iters
+    # median-of-3 N-vs-2N differences, like bench.py: transport noise can
+    # exceed small-batch call times, and a non-positive difference means the
+    # measurement is below the noise floor — report that, not a fantasy rate
+    dts = []
+    for r in range(3):
+        base = 3 * r * iters
+        t_short = timed(scalars[base:base + iters])
+        t_long = timed(scalars[base + iters:base + 3 * iters])
+        dts.append((t_long - t_short) / iters)
+    dt = sorted(dts)[1]
+    if dt <= 0:
+        print(f"fit_batch b{batch}: call time below the transport noise "
+              f"floor (differences {[f'{d*1e3:.0f} ms' for d in dts]}) — "
+              "use a larger batch for a meaningful rate", flush=True)
+        return
     fps = batch / dt
     corpus_h = CORPUS_FRAMES / fps / 3600
     print(f"fit_batch b{batch}: {dt*1e3:.0f} ms/call -> {fps:,.0f} frames/s "
