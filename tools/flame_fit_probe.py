@@ -14,7 +14,7 @@ Reports frames/s per chip and the projected wall-clock for the full corpus
 Targets are rendered from known ground-truth parameters, so the probe also
 checks the fits actually converge (median landmark loss reduction).
 
-Usage: python tools/flame_fit_probe.py [batch] [iters]
+Usage: python tools/flame_fit_probe.py [batch] [iters] [stage1] [stage2]
 """
 
 from __future__ import annotations
@@ -64,9 +64,11 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    stage1 = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+    stage2 = int(sys.argv[4]) if len(sys.argv) > 4 else 60
 
     dev = jax.devices()[0]
-    print(f"device: {dev.device_kind} ({dev.platform})", flush=True)
+    print(f"device: {dev.device_kind} ({dev.platform}); stages {stage1}+{stage2}", flush=True)
 
     model = synthetic_flame_model(5023, seed=0)   # real-FLAME tensor sizes
     emb = flame_fit.synthetic_landmark_embedding(model, 51, seed=2)
@@ -74,7 +76,9 @@ def main():
 
     # the perturbation stays under the jit: an eager add per iteration would
     # be a host round trip inside the timing loop (CLAUDE.md axon rules)
-    run = jax.jit(lambda t, i: flame_fit.fit_batch(model, emb, t + i * 1e-4))
+    run = jax.jit(lambda t, i: flame_fit.fit_batch(
+        model, emb, t + i * 1e-4, stage1_steps=stage1,
+        stage2_steps=stage2))
 
     t0 = time.perf_counter()
     params, losses = run(targets, jnp.zeros(()))
