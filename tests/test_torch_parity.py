@@ -29,26 +29,36 @@ from test_sample import final_like_hparams  # noqa: E402
 from lets_face_it_tpu.sample.torch_ref import torch_sequence_nll  # noqa: E402
 
 
-def test_sequence_nll_matches_independent_torch():
-    hp = final_like_hparams()
-    spec = FlowSpec.build(hp)
-    params = init_seqglow(jax.random.PRNGKey(3), spec)
-    # perturb trainable leaves so couplings/scales are non-trivial
+def _perturbed_params(spec):
+    """Init + perturb trainable flow leaves so couplings/scales are
+    non-trivial (shared by both parity tests — keep the recipe in one
+    place)."""
     from lets_face_it_tpu.model import flow as flow_mod
 
+    params = init_seqglow(jax.random.PRNGKey(3), spec)
     mask = flow_mod.trainable_mask(params.flow)
     pflow = jax.tree.map(
-        lambda x, m: x + 0.05 * jax.random.normal(jax.random.PRNGKey(8), x.shape)
-        if m else x, params.flow, mask)
-    params = params._replace(flow=pflow)
+        lambda x, m: x + 0.05 * jax.random.normal(jax.random.PRNGKey(8),
+                                                  x.shape) if m else x,
+        params.flow, mask)
+    return params._replace(flow=pflow)
 
+
+def _parity_batch():
     rng = np.random.default_rng(0)
-    batch = {
+    return {
         "p1_face": rng.standard_normal((3, 32, 56)).astype(np.float32),
         "p2_face": rng.standard_normal((3, 32, 56)).astype(np.float32),
         "p1_speech": rng.standard_normal((3, 32, 30)).astype(np.float32),
         "p2_speech": rng.standard_normal((3, 32, 30)).astype(np.float32),
     }
+
+
+def test_sequence_nll_matches_independent_torch():
+    hp = final_like_hparams()
+    spec = FlowSpec.build(hp)
+    params = _perturbed_params(spec)
+    batch = _parity_batch()
 
     _, loss_jax, _ = seqglow.sequence_nll(spec, params, batch)
     state = export_state_dict(params, spec)
@@ -64,14 +74,7 @@ def test_ablation_configs_match_independent_torch():
     or dim 0) must evaluate identically in the independent torch
     implementation too — the ablation NLLs are what the paper's Table 1
     compares."""
-    rng = np.random.default_rng(0)
-    batch = {
-        "p1_face": rng.standard_normal((3, 32, 56)).astype(np.float32),
-        "p2_face": rng.standard_normal((3, 32, 56)).astype(np.float32),
-        "p1_speech": rng.standard_normal((3, 32, 30)).astype(np.float32),
-        "p2_speech": rng.standard_normal((3, 32, 30)).astype(np.float32),
-    }
-    from lets_face_it_tpu.model import flow as flow_mod
+    batch = _parity_batch()
 
     ablations = {
         # no_speech.yaml: interlocutor speech disabled via history 0
@@ -88,13 +91,7 @@ def test_ablation_configs_match_independent_torch():
         hp = final_like_hparams()
         hp.Conditioning.update(cond_over)
         spec = FlowSpec.build(hp)
-        params = init_seqglow(jax.random.PRNGKey(3), spec)
-        mask = flow_mod.trainable_mask(params.flow)
-        pflow = jax.tree.map(
-            lambda x, m: x + 0.05 * jax.random.normal(
-                jax.random.PRNGKey(8), x.shape) if m else x,
-            params.flow, mask)
-        params = params._replace(flow=pflow)
+        params = _perturbed_params(spec)
 
         _, loss_jax, _ = seqglow.sequence_nll(spec, params, batch)
         loss_torch = torch_sequence_nll(export_state_dict(params, spec), hp,

@@ -80,8 +80,16 @@ def main():
         model, emb, t + i * 1e-4, stage1_steps=stage1,
         stage2_steps=stage2))
 
+    # pre-staged perturbation scalars: a per-iteration device_put would be
+    # its own dispatch inside the timing loop. The warm-up call uses the
+    # same aval (weakly-typed f32 scalar) as the timed calls — a
+    # differently-typed warm-up scalar would leave the timed trace
+    # uncompiled and hide a ~minutes retrace inside the first timed leg.
+    scalars = [jnp.asarray(float(i)) for i in range(1 + 9 * iters)]
+    jax.block_until_ready(scalars)
+
     t0 = time.perf_counter()
-    params, losses = run(targets, jnp.zeros(()))
+    params, losses = run(targets, scalars[0])
     hard_sync(losses)
     compile_s = time.perf_counter() - t0
     final_loss = float(jnp.median(losses))
@@ -105,11 +113,6 @@ def main():
           f"{np.median(err):.2f} / p95 {np.percentile(err, 95):.2f} "
           f"(1024-px image) over {batch} frames", flush=True)
 
-    # pre-staged perturbation scalars: a per-iteration device_put would be
-    # its own dispatch inside the timing loop
-    scalars = [jnp.asarray(float(i + 1)) for i in range(9 * iters)]
-    jax.block_until_ready(scalars)
-
     def timed(ks):
         out = None
         t0 = time.perf_counter()
@@ -123,7 +126,7 @@ def main():
     # measurement is below the noise floor — report that, not a fantasy rate
     dts = []
     for r in range(3):
-        base = 3 * r * iters
+        base = 1 + 3 * r * iters
         t_short = timed(scalars[base:base + iters])
         t_long = timed(scalars[base + iters:base + 3 * iters])
         dts.append((t_long - t_short) / iters)
