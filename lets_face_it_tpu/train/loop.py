@@ -203,7 +203,6 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
     if mesh is not None:
         state = pmesh.replicate(mesh, state)
 
-    np_rng = np.random.default_rng(seed)
     best_val = float("inf")
     max_epochs = int(hp.max_epochs or 1)
     global_step = int(jax.device_get(state.step))
@@ -213,6 +212,13 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
     from lets_face_it_tpu.data.prefetch import prefetch_batches
 
     for epoch in range(start_epoch, max_epochs):
+        # The shuffle order is a pure function of (seed, epoch) so a resumed
+        # run consumes exactly the data order the uninterrupted run would
+        # have at this epoch (the reference gets the same property from
+        # Lightning re-seeding its DataLoader sampler per epoch). Seeding
+        # from a running np_rng instead would replay epochs 0..E's shuffles
+        # after a resume at epoch E.
+        np_rng = np.random.default_rng([seed, epoch])
         for batch in prefetch_batches(
                 train_ds.epoch_batches(hp.batch_size, rng=np_rng,
                                        shuffle=True, drop_last=True)):
@@ -240,7 +246,9 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
                 break
 
         if (epoch + 1) % int(hp.check_val_every_n_epoch or 1) == 0 or done:
-            rng, sub = jax.random.split(rng)
+            # Resume-invariant: fold the step into the base key instead of
+            # advancing a split chain that a resumed run would restart.
+            sub = jax.random.fold_in(rng, global_step)
             val_loss = run_validation(spec, hp, state.params, val_ds, eval_step,
                                       logger, global_step, sub,
                                       render_client=render_client)
