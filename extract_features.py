@@ -272,12 +272,19 @@ def _validate_splits_dir(splits_file):
 
     errors, warnings, _ = validate_data_dir(Path(splits_file).parent,
                                             splits_file=splits_file)
+    # The combine stage consumes ONLY the splits file; schema errors in
+    # optional sibling JSONs (annotations.json, meta_data.json, ...) must
+    # not block an otherwise valid combine run — demote them to warnings.
+    # Every finding is prefixed with its source file's name.
+    splits_name = Path(splits_file).name
+    blocking = [e for e in errors if e.startswith(f"{splits_name}:")]
+    warnings = warnings + [e for e in errors if e not in blocking]
     for w in warnings:
         log(f"data-json WARNING: {w}")
-    if errors:
-        for e in errors:
+    if blocking:
+        for e in blocking:
             log(f"data-json ERROR: {e}")
-        sys.exit(f"{len(errors)} dataset-definition schema error(s); see "
+        sys.exit(f"{len(blocking)} splits-file schema error(s); see "
                  "tools/validate_data_jsons.py")
 
 

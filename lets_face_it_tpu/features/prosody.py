@@ -58,6 +58,15 @@ def praat_frame_layout(n_samples: int, fs: float, window_dur: float,
     frame_len) — all static, computed at trace time."""
     duration = n_samples / fs
     frame_len = int(round(window_dur * fs))
+    if n_samples < frame_len:
+        # Without this guard the clipped start indices would make the JAX
+        # gather run past the signal end, silently repeating the final
+        # sample (index clamping) — define short-input behavior explicitly
+        # instead (Praat likewise reports "sound too short" for the AC
+        # method when less than one analysis window fits).
+        raise ValueError(
+            f"sound too short for the analysis window: {n_samples} samples "
+            f"< {frame_len} ({window_dur:.4f}s at fs={fs})")
     n_frames = int(np.floor((duration - window_dur) / time_step)) + 1
     n_frames = max(n_frames, 1)
     t_mid_first = 0.5 * (duration - (n_frames - 1) * time_step)

@@ -53,10 +53,10 @@ def _auto_use_fused(spec: FlowSpec, batch_size: int, mesh) -> bool:
         return True
     if not batch_ok:
         logger.warning(
-            "fused training kernels DISENGAGED: per-shard batch %s "
-            "(global %d over %d shard(s)) is outside the kernel envelope "
-            "(needs a multiple of 32) — falling back to the XLA scan path",
-            batch_size / n_shards, batch_size, n_shards)
+            "fused training kernels DISENGAGED: global batch %d over %d "
+            "shard(s) is outside the kernel envelope (the per-shard batch "
+            "must be a whole multiple of 32) — falling back to the XLA "
+            "scan path", batch_size, n_shards)
     else:
         logger.warning(
             "fused training kernels DISENGAGED: %d devices visible but no "

@@ -624,6 +624,14 @@ def flow_sequence_fused(spec: FlowSpec, flow_params, xs, cond_seq, states0, *,
     if interpret is None:
         interpret = INTERPRET
     b = xs.shape[1]
+    if not interpret and b % 32:
+        # The auto-gate (seqglow._auto_use_fused) never routes such batches
+        # here, but an explicit use_fused override could: a non-multiple-of-32
+        # batch tile is an illegal Mosaic sublane tiling, so fail loudly
+        # before the compiler does (interpret mode has no such constraint).
+        raise ValueError(
+            f"fused training kernels require batch % 32 == 0 when compiled "
+            f"on TPU (got b={b}); use the XLA path or pad the batch")
     if bt_fwd is None:
         bt_fwd = _largest_dividing_tile(b, BT_FWD)
     if bt_bwd is None:

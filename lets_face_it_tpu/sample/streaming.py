@@ -7,7 +7,9 @@ caller pushes the latest interlocutor-face/speech frames, and the stepper
 maintains the rolling history windows, the own-face ring buffer, and the K
 coupling-GRU states on device. The per-frame step is one jit-compiled call
 (the fused Pallas kernel on TPU), so a live session costs one dispatch per
-25-fps frame.
+25-fps frame — and when the host falls behind, ``push_many`` drains a
+k-frame backlog in ONE dispatch (a scan over the same step), so the tail
+latency of a stall is bounded by one round trip, not k.
 """
 
 from __future__ import annotations
@@ -60,14 +62,14 @@ class StreamingGenerator:
                 self.windows[name] = zeros(espec.history, espec.input_dim)
         self.states = flow.init_flow_states(spec, b)
         self.rng = jax.random.PRNGKey(seed)
-        self._step = self._build_step()
+        self._step = jax.jit(self._make_step())
+        self._step_many = jax.jit(self._make_step_many())
 
-    def _build_step(self):
+    def _make_step(self):
         spec = self.spec
         params = self.params
         fused_weights = self._fused_weights
 
-        @jax.jit
         def step(face_hist, windows, states, rng, inputs, eps_std):
             # roll the modality windows with the incoming frames (the current
             # interlocutor frame IS visible — (t-h, t] semantics)
@@ -105,6 +107,27 @@ class StreamingGenerator:
 
         return step
 
+    def _make_step_many(self):
+        """k frames in ONE dispatch (lax.scan over the per-frame step) — the
+        catch-up path: after a host stall of k frames the session drains the
+        backlog in a single device round trip instead of k, so a late frame
+        never snowballs. One compile per distinct k (jit specializes on the
+        leading time axis)."""
+        step = self._make_step()
+
+        def step_many(face_hist, windows, states, rng, inputs_kbd, eps_std):
+            def body(carry, inputs_t):
+                face_hist, windows, states, rng = carry
+                face_hist, windows, states, rng, x_t = step(
+                    face_hist, windows, states, rng, inputs_t, eps_std)
+                return (face_hist, windows, states, rng), x_t
+
+            (face_hist, windows, states, rng), xs = jax.lax.scan(
+                body, (face_hist, windows, states, rng), inputs_kbd)
+            return face_hist, windows, states, rng, jnp.moveaxis(xs, 0, 1)
+
+        return step_many
+
     def push(self, p2_face=None, p1_speech=None, p2_speech=None):
         """Feed the current conversation frame; returns the generated agent
         face frame [B, C]."""
@@ -118,6 +141,29 @@ class StreamingGenerator:
          x_t) = self._step(self.face_hist, self.windows, self.states,
                            self.rng, inputs, self.eps_std)
         return x_t
+
+    def push_many(self, p2_face=None, p1_speech=None, p2_speech=None):
+        """Feed k conversation frames in one dispatch; returns the k generated
+        agent face frames [B, k, C].
+
+        Inputs are [B, k, D] per conditioned modality. Semantically identical
+        to k ``push`` calls (same PRNG stream, same rolling windows) but costs
+        one host->device round trip — the recovery mode for a live session
+        that fell k frames behind the 25-fps budget."""
+        inputs = {}
+        k = None
+        for name, val in (("p2_face", p2_face), ("p1_speech", p1_speech),
+                          ("p2_speech", p2_speech)):
+            if name in self.windows:
+                assert val is not None, f"{name} is conditioned on; provide it"
+                arr = jnp.asarray(val, jnp.float32)
+                # scan consumes xs along the leading axis: [B,k,D] -> [k,B,D]
+                inputs[name] = jnp.moveaxis(arr, 1, 0)
+                k = arr.shape[1] if k is None else k
+        (self.face_hist, self.windows, self.states, self.rng,
+         x_kt) = self._step_many(self.face_hist, self.windows, self.states,
+                                 self.rng, inputs, self.eps_std)
+        return x_kt
 
     def reset(self, seed_faces=None):
         """Start a new sequence: zero (or seed) the own-face history and reset

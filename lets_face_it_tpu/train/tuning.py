@@ -25,6 +25,7 @@ import fcntl
 import json
 import multiprocessing
 import os
+import random
 import traceback
 from pathlib import Path
 
@@ -146,11 +147,14 @@ class Study:
     under an exclusive ``flock`` on a sibling ``.lock`` file, and the JSON
     is replaced atomically (`os.replace` of a per-process temp file), so
     workers on the same filesystem never tear or lose records. A worker
-    claims its trial number by appending a ``running`` record under the
-    lock, trains outside the lock, then re-reads and fills in its record.
-    Before sampling each new trial a worker re-reads the store and feeds
-    every *other* worker's completed values to its sampler, so TPE
-    posteriors sharpen across the fleet. ``optimize(n_trials=N)`` runs N
+    snapshots the store under the lock, samples its proposal OUTSIDE the
+    lock (with other workers' running trials as constant-liar
+    pseudo-observations, so identical posteriors don't collide on the same
+    point), claims its trial number by appending a ``running`` record under
+    the lock, trains, then re-reads and fills in its record. Before
+    sampling each new trial a worker re-reads the store and feeds every
+    *other* worker's completed values to its sampler, so TPE posteriors
+    sharpen across the fleet. ``optimize(n_trials=N)`` runs N
     trials in the calling worker — launch K workers for K*N total.
     """
 
@@ -206,24 +210,57 @@ class Study:
                     sampler.observe(t["params"], t["value"])
                     observed.add(t["number"])
 
-        for _ in range(n_trials):
-            # claim a trial number: append the running record under the lock
+        for local_idx in range(n_trials):
+            # snapshot the store under a short lock
             with self._locked():
                 self._reload()
                 observe_completed()
+                running_params = [t["params"] for t in self.trials
+                                  if t.get("state") == "running"]
+                provisional = len(self.trials)
+
+            # Propose OUTSIDE the lock — TPE candidate scoring is
+            # O(history^2), and holding the exclusive flock here would
+            # serialize every worker's claim. Other workers' in-flight
+            # (running) trials enter the sampler as constant-liar
+            # pseudo-observations (pessimistic: the worst completed value,
+            # Optuna's TPESampler(constant_liar=True) convention) so
+            # concurrent workers with identical posteriors don't propose
+            # duplicate points; the lies are dropped after the proposal.
+            history = getattr(sampler, "history", None)
+            n_real = len(history) if history is not None else 0
+            if history is not None and running_params:
+                liar = max((v for _, v in history), default=None)
+                if liar is not None:
+                    for p in running_params:
+                        sampler.observe(p, liar)
+            trial = Trial(provisional, sampler)
+            # Two workers proposing concurrently see the same provisional
+            # number; mix in the pid so their candidate draws differ even
+            # before any liar observations exist.
+            trial.rng = random.Random(
+                hash((sampler.seed, provisional, os.getpid(), local_idx)))
+            hp = HParams(**json.loads(json.dumps(base_hparams.to_dict(),
+                                                 default=str)))
+            hp = space_fn(hp, trial)
+            if history is not None:
+                del history[n_real:]
+            invalid = None
+            try:
+                validate_hparams(hp)
+            except AssertionError as exc:
+                invalid = str(exc)
+
+            # claim a trial number: append the record under the lock
+            # (append-only and cheap — other workers may have appended
+            # since the snapshot, so the number is re-derived here)
+            with self._locked():
+                self._reload()
                 number = len(self.trials)
-                trial = Trial(number, sampler)
-                hp = HParams(**json.loads(json.dumps(base_hparams.to_dict(),
-                                                     default=str)))
-                hp = space_fn(hp, trial)
                 record = {"number": number, "params": trial.params,
                           "value": None, "state": "running",
                           "user_attrs": trial.user_attrs}
-                invalid = None
-                try:
-                    validate_hparams(hp)
-                except AssertionError as exc:
-                    invalid = str(exc)
+                if invalid is not None:
                     record.update(state="invalid", note=invalid)
                 self.trials.append(record)
                 self._save()

@@ -48,6 +48,41 @@ def test_streaming_matches_offline_mean_path():
     np.testing.assert_allclose(streaming, np.asarray(offline), atol=1e-4)
 
 
+def test_push_many_matches_per_frame_pushes():
+    """The k-frame catch-up dispatch must be semantically identical to k
+    single pushes: same outputs, same PRNG stream, same rolling state (a
+    session that recovered via push_many continues exactly where a healthy
+    one would be)."""
+    hp = tiny_hparams()
+    spec = FlowSpec.build(hp)
+    params = init_seqglow(jax.random.PRNGKey(0), spec)
+    b, k = 2, 5
+    c, s = spec.channels, hp.Data["speech_dim"]
+    rng = np.random.default_rng(2)
+    frames = {
+        "p2_face": rng.standard_normal((b, k, c)).astype(np.float32),
+        "p1_speech": rng.standard_normal((b, k, s)).astype(np.float32),
+        "p2_speech": rng.standard_normal((b, k, s)).astype(np.float32),
+    }
+    tail = {name: rng.standard_normal(arr.shape[:1] + arr.shape[2:]
+                                      ).astype(np.float32)
+            for name, arr in frames.items()}
+
+    gen_a = StreamingGenerator(spec, params, batch_size=b, eps_std=1.0,
+                               seed=7, use_fused=False)
+    gen_b = StreamingGenerator(spec, params, batch_size=b, eps_std=1.0,
+                               seed=7, use_fused=False)
+
+    singles = np.stack([np.asarray(gen_a.push(
+        **{n: frames[n][:, i] for n in frames})) for i in range(k)], axis=1)
+    many = np.asarray(gen_b.push_many(**frames))
+
+    np.testing.assert_allclose(many, singles, atol=1e-5)
+    # the post-catch-up state continues the same trajectory
+    np.testing.assert_allclose(np.asarray(gen_b.push(**tail)),
+                               np.asarray(gen_a.push(**tail)), atol=1e-5)
+
+
 def test_streaming_reset():
     hp = tiny_hparams()
     spec = FlowSpec.build(hp)

@@ -103,6 +103,39 @@ def test_study_oom_halving_and_persistence(tmp_path, hp, monkeypatch):
     assert study2.best_trial["number"] == best["number"]
 
 
+def test_constant_liar_feeds_running_trials(tmp_path, hp, monkeypatch):
+    """While proposing, other workers' running trials enter the sampler as
+    pessimistic pseudo-observations (so identical posteriors don't collide),
+    and the lies are dropped again after the proposal."""
+    seen_hist = []
+
+    def fake_execute(hp_trial, batch_size, max_steps, seed, use_subprocess):
+        return {"val_loss": 1.0}
+
+    monkeypatch.setattr(Study, "_execute", staticmethod(fake_execute))
+    study = Study("liar", storage_dir=tmp_path)
+    study.trials = [
+        {"number": 0, "params": {"lr": 0.5}, "value": 2.0,
+         "state": "complete", "user_attrs": {}},
+        {"number": 1, "params": {"lr": 0.9}, "value": None,
+         "state": "running", "user_attrs": {}},
+    ]
+    study._save()
+    sampler = TPESampler(seed=0)
+
+    def space(h, trial):
+        seen_hist.append([v for _, v in trial.sampler.history])
+        h.lr = trial.suggest_uniform("lr", 0.0, 1.0)
+        return h
+
+    study.optimize(hp, space, n_trials=1, seed=0, use_subprocess=False,
+                   sampler=sampler)
+    # the running trial appeared as a worst-value liar during the proposal...
+    assert seen_hist == [[2.0, 2.0]]
+    # ...and only real completed values remain afterwards
+    assert [v for _, v in sampler.history] == [2.0, 1.0]
+
+
 def test_concurrent_workers_share_study(tmp_path, hp):
     """Two worker processes drive the same flock-guarded JSON study
     (the reference's Optuna-RDB concurrency, config.toml:30-31): trial
