@@ -97,6 +97,117 @@ def _normed(x: np.ndarray) -> np.ndarray:
     return x / (np.max(np.abs(x)) + 1e-12)
 
 
+def _alternating_pulses(fs: float, duration: float, f0: float, alt: float,
+                        rng: np.random.Generator) -> np.ndarray:
+    """Pulse train at ``f0`` with every other pulse scaled by ``alt`` — a
+    strong subharmonic at f0/2, the classic octave-error trap for the
+    Viterbi octave/jump costs."""
+    n = int(duration * fs)
+    pulses = np.zeros(n)
+    positions = (np.arange(int(duration * f0)) * fs / f0).astype(int)
+    positions = positions[positions < n]
+    amps = np.where(np.arange(len(positions)) % 2 == 0, 1.0, alt)
+    pulses[positions] = amps
+    y = _normed(_formant_filter(pulses, fs))
+    ramp = min(int(0.04 * fs), n // 4)
+    env = np.ones(n)
+    env[:ramp] = np.linspace(0, 1, ramp)
+    env[-ramp:] = np.linspace(1, 0, ramp)
+    return y * env
+
+
+def synth_battery(fs: int = FS, seed: int = 77) -> dict:
+    """Decision-boundary battery (round-4 VERDICT item 4): signals stressing
+    the 75/600 Hz pitch bounds, the Viterbi octave/jump costs, the silence
+    threshold, and additive-noise robustness. All signals share one length
+    so the JAX path compiles once."""
+    rng = np.random.default_rng(seed)
+    dur = 3.2
+    n = int(dur * fs)
+
+    def pad_to(x):
+        x = np.asarray(x, np.float64)[:n]
+        if len(x) < n:
+            x = np.pad(x, (0, n - len(x)))
+        return x
+
+    sigs = {}
+    # f0 ramps hugging the analysis bounds (floor 75 Hz / ceiling 600 Hz)
+    sigs["low_ramp"] = pad_to(_voiced(
+        fs, dur, lambda u: 78.0 + 22.0 * u, rng, jitter=0.003)) * 0.3
+    sigs["high_ramp"] = pad_to(_voiced(
+        fs, dur, lambda u: 470.0 + 110.0 * u, rng, jitter=0.003,
+        vibrato_depth=0.01)) * 0.3
+    # Octave trap: alternating pulse amplitudes put an f0/2 subharmonic
+    # candidate in play. The Viterbi octave-cost decision boundary sits
+    # between alt=0.85 and alt=0.9 (measured): at 0.9 the tracker must
+    # RESIST the trap (true 180 Hz), at 0.55 the waveform genuinely repeats
+    # at f0/2 and subharmonic capture (90 Hz) is the correct reading —
+    # parity on both sides pins the cost boundary.
+    sigs["octave_trap"] = pad_to(
+        _alternating_pulses(fs, dur, 180.0, 0.9, rng)) * 0.3
+    sigs["period_doubled"] = pad_to(
+        _alternating_pulses(fs, dur, 180.0, 0.55, rng)) * 0.3
+    # amplitude fade crossing the silence threshold on a steady 150 Hz voice
+    fade = np.linspace(1.0, 0.0, n) ** 2
+    sigs["silence_fade"] = pad_to(_voiced(
+        fs, dur, lambda u: 150.0 + 0.0 * u, rng, jitter=0.002)) * 0.3 * fade
+    # creaky: low f0 near the floor with heavy jitter
+    sigs["creaky_low"] = pad_to(_voiced(
+        fs, dur, lambda u: 90.0 + 5.0 * u, rng, jitter=0.03,
+        vibrato_depth=0.0)) * 0.3
+    # additive white noise at 2 SNRs on a modulated mid-range vowel
+    clean = pad_to(_voiced(
+        fs, dur, lambda u: 160.0 + 30.0 * np.sin(2 * np.pi * 1.5 * u), rng,
+        jitter=0.004)) * 0.3
+    for snr_db in (10, 0):
+        noise = rng.standard_normal(n)
+        noise *= np.sqrt(np.mean(clean ** 2) / np.mean(noise ** 2)
+                         / 10.0 ** (snr_db / 10.0))
+        sigs[f"noisy_snr{snr_db}"] = clean + noise
+    # tiny noise floor so "silence" is never digitally zero
+    return {k: (v + 1e-5 * rng.standard_normal(n)).astype(np.float32)
+            for k, v in sigs.items()}
+
+
+def make_golden_battery(out_path: Path) -> dict:
+    """Per-signal golden pitch/intensity tracks for the battery, same
+    dual-source policy as ``make_golden`` (parselmouth when importable,
+    otherwise the independent NumPy implementation)."""
+    sigs = synth_battery()
+    data: dict = {"fs": FS, "time_step": TIME_STEP,
+                  "names": np.array(sorted(sigs))}
+    try:
+        import parselmouth as pm
+
+        for name, x in sigs.items():
+            snd = pm.Sound(np.asarray(x, np.float64), sampling_frequency=FS)
+            pitch = snd.to_pitch(time_step=TIME_STEP)
+            intensity = snd.to_intensity(time_step=TIME_STEP)
+            data[f"{name}/wav"] = x
+            data[f"{name}/f0_hz"] = np.nan_to_num(
+                pitch.selected_array["frequency"])
+            data[f"{name}/intensity_db"] = intensity.values[0]
+        provenance = f"parselmouth {pm.VERSION}"
+    except ImportError:
+        from praat_golden import intensity_track, pitch_track
+
+        for name, x in sigs.items():
+            _, f0 = pitch_track(np.asarray(x, np.float64), FS, TIME_STEP)
+            _, inten = intensity_track(np.asarray(x, np.float64), FS,
+                                       TIME_STEP)
+            data[f"{name}/wav"] = x
+            data[f"{name}/f0_hz"] = np.nan_to_num(f0)
+            data[f"{name}/intensity_db"] = inten
+        provenance = "tools/praat_golden.py (independent NumPy Boersma-1993)"
+    data["provenance"] = provenance
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(out_path, **data)
+    print(f"wrote {out_path} ({len(sigs)} signals, golden source: "
+          f"{provenance})")
+    return data
+
+
 def make_golden(out_path: Path) -> dict:
     x = synth_utterance()
     try:
@@ -130,7 +241,9 @@ def make_golden(out_path: Path) -> dict:
 
 
 if __name__ == "__main__":
+    fixtures = (Path(__file__).resolve().parent.parent / "tests"
+                / "fixtures")
     out = Path(sys.argv[1]) if len(sys.argv) > 1 else (
-        Path(__file__).resolve().parent.parent
-        / "tests" / "fixtures" / "prosody_golden.npz")
+        fixtures / "prosody_golden.npz")
     make_golden(out)
+    make_golden_battery(out.parent / "prosody_battery.npz")
