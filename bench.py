@@ -42,7 +42,7 @@ def build_full_model():
 
 
 def bench_sampling(hp, spec, params, batch_size: int, gen_frames: int = 100,
-                   iters: int | None = None):
+                   iters: int | None = None, with_band: bool = False):
     from lets_face_it_tpu.model import seqglow
 
     if iters is None:
@@ -85,6 +85,11 @@ def bench_sampling(hp, spec, params, batch_size: int, gen_frames: int = 100,
         dts.append(max(t_long - t_short, 1e-9) / iters)
     dt = sorted(dts)[1]
     frames_per_sec = batch_size * gen_frames / dt
+    if with_band:
+        # min-max band over the 3 difference measurements: the pinned
+        # README number is the median, never a lucky tail (r3 weak #3)
+        fps_all = sorted(batch_size * gen_frames / d for d in dts)
+        return frames_per_sec, dt, (fps_all[0], fps_all[-1])
     return frames_per_sec, dt
 
 
@@ -93,7 +98,8 @@ def bench_sampling(hp, spec, params, batch_size: int, gen_frames: int = 100,
 from lets_face_it_tpu.utils.timing import hard_sync as _hard_sync  # noqa: E402
 
 
-def bench_training(hp, spec, params, batch_size: int = 256, iters: int = 5):
+def bench_training(hp, spec, params, batch_size: int = 256, iters: int = 5,
+                   repeats: int = 1, with_band: bool = False):
     from lets_face_it_tpu.train import state as train_state
     from lets_face_it_tpu.train.optim import build_optimizer
 
@@ -116,9 +122,15 @@ def bench_training(hp, spec, params, batch_size: int = 256, iters: int = 5):
         _hard_sync(m)
         return time.perf_counter() - t0
 
-    t_short = timed(iters)
-    t_long = timed(2 * iters)
-    dt = max(t_long - t_short, 1e-9) / iters
+    dts = []
+    for _ in range(repeats):
+        t_short = timed(iters)
+        t_long = timed(2 * iters)
+        dts.append(max(t_long - t_short, 1e-9) / iters)
+    dt = sorted(dts)[len(dts) // 2]
+    if with_band:
+        sps_all = sorted(1.0 / d for d in dts)
+        return 1.0 / dt, dt, (sps_all[0], sps_all[-1])
     return 1.0 / dt, dt
 
 
@@ -297,11 +309,14 @@ def main():
     # B=128 is the measured per-chip sampling peak with the whole-sequence
     # fused kernel (tools/sampling_probe.py r2: 432k/462k/437k/401k f/s at
     # B=64/128/256/512 f32-highest; same shape at bf16)
-    fps_batch, _ = bench_sampling(hp, spec, params, batch_size=128)
+    fps_batch, _, band_batch = bench_sampling(hp, spec, params,
+                                              batch_size=128, with_band=True)
     stream_p50, stream_p99, stream_chained = bench_streaming(hp, spec, params)
     (sess_p50, sess_p99, sess_max,
      sess_max_dispatch) = bench_streaming_session(hp, spec, params)
-    train_sps, train_dt = bench_training(hp, spec, params)
+    train_sps, train_dt, band_train = bench_training(hp, spec, params,
+                                                     repeats=3,
+                                                     with_band=True)
     try:
         sps_1024, _ = bench_training(hp, spec, params, batch_size=1024,
                                      iters=2)
@@ -313,9 +328,11 @@ def main():
     # production bf16 rows: the fused kernels follow the ambient matmul
     # precision (single-pass MXU dots here), measured 1.26x over XLA-bf16
     with jax.default_matmul_precision("default"):
-        train_sps_fast, _ = bench_training(hp, spec, params)
+        train_sps_fast, _, band_train_fast = bench_training(
+            hp, spec, params, repeats=3, with_band=True)
         fps_b1_fast, _ = bench_sampling(hp, spec, params, batch_size=1)
-        fps_batch_fast, _ = bench_sampling(hp, spec, params, batch_size=128)
+        fps_batch_fast, _, band_batch_fast = bench_sampling(
+            hp, spec, params, batch_size=128, with_band=True)
 
     target = REALTIME_FPS * TARGET_REALTIME_FACTOR
     result = {
@@ -349,6 +366,18 @@ def main():
         "nll_parity_rel_err_vs_torch_f64": (round(parity, 8)
                                             if parity is not None else None),
         "device": f"{dev.device_kind}",
+        # min-max bands over the median-of-3 headline measurements: the
+        # README pin renders these, and the suite asserts the pinned value
+        # lies inside the newest capture's band (r3 weak #3)
+        "bands": {
+            "value": [round(band_batch[0], 1), round(band_batch[1], 1)],
+            "sampling_fps_batched_bf16matmul": [
+                round(band_batch_fast[0], 1), round(band_batch_fast[1], 1)],
+            "train_steps_per_sec_b256_T80": [
+                round(band_train[0], 3), round(band_train[1], 3)],
+            "train_steps_per_sec_b256_T80_bf16matmul": [
+                round(band_train_fast[0], 3), round(band_train_fast[1], 3)],
+        },
     }
     if batch_table is not None:
         result["batch_scaling"] = batch_table

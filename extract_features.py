@@ -192,12 +192,27 @@ def stage_ringnet(sessions, fps):
 
 
 def stage_flame(sessions, fps):
+    import jax
+
     from lets_face_it_tpu.features import flame_fit
 
     assets = _flame_assets()
     if assets is None:
         return
     model, emb = assets
+    # The fit is frame-independent: on a multi-chip host, shard the frame
+    # axis over all devices (one sharded dispatch covers n_devices× the
+    # frames — the reference's Ray GPU actor pool role, flame.py:266-291)
+    mesh = None
+    if len(jax.devices()) > 1:
+        from lets_face_it_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh()
+        # per-device batch 256 is the measured per-chip throughput knee
+        batch_frames = 256 * mesh.devices.size
+        log(f"flame: sharding frames over {mesh.devices.size} devices")
+    else:
+        batch_frames = 256
     for session in sessions:
         for part in ("P1", "P2"):
             part_dir = session / part
@@ -205,8 +220,9 @@ def stage_flame(sessions, fps):
             csv_file = part_dir / f"openface_{fps}fps.csv"
             if out_h5.exists() or not csv_file.exists():
                 continue
-            flame_fit.fit_session_participant(part_dir, fps, model=model,
-                                               emb=emb)
+            flame_fit.fit_session_participant(
+                part_dir, fps, model=model, emb=emb, mesh=mesh,
+                batch_frames=batch_frames)
             log(f"flame: {out_h5}")
 
 

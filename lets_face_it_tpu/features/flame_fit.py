@@ -157,14 +157,30 @@ def _fit_batch_impl(model, emb, targets, init, stage1_steps, stage2_steps):
 
 
 def fit_batch(model: FlameModel, emb: LandmarkEmbedding, targets,
-              init=None, *, stage1_steps: int = 30, stage2_steps: int = 60):
+              init=None, *, stage1_steps: int = 30, stage2_steps: int = 60,
+              mesh=None):
     """Fit FLAME to [N, 51, 2] target landmarks; all N frames in parallel.
 
     init: optional dict of [N, ...] arrays {trans, rot, pose, shape, exp}
     (e.g. from RingNet). Returns (params dict of [N, ...], losses [N]).
+
+    ``mesh``: optional 1-axis ``jax.sharding.Mesh`` — the frame axis is
+    sharded across its devices (the fit is frame-independent, so GSPMD
+    splits the vmapped solve with zero collectives; the reference used a
+    Ray actor pool over GPUs for this role, flame.py:266-291). Requires
+    N % mesh.devices.size == 0.
     """
     targets = jnp.asarray(targets, jnp.float32)
     n = targets.shape[0]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if n % mesh.devices.size:
+            raise ValueError(
+                f"frame count {n} not divisible over {mesh.devices.size} "
+                f"devices; pad the chunk (fit_session_participant does)")
+        sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+        targets = jax.device_put(targets, sh)
     n_expr = model.shapedirs.shape[-1] - 300
     zeros = {
         "trans": jnp.zeros((n, 3)),
@@ -177,6 +193,11 @@ def fit_batch(model: FlameModel, emb: LandmarkEmbedding, targets,
         for k, v in init.items():
             v = jnp.asarray(v, jnp.float32)
             zeros[k] = zeros[k].at[:, : v.shape[1]].set(v)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+        zeros = {k: jax.device_put(v, sh) for k, v in zeros.items()}
     return _fit_batch_impl(model, emb, targets, zeros,
                            stage1_steps, stage2_steps)
 
@@ -238,10 +259,17 @@ def fit_session_participant(part_dir, fps: int, *, model=None, emb=None,
                             flame_model_path=None,
                             landmark_embedding_path=None,
                             batch_frames: int = 256,
-                            stage1_steps: int = 30, stage2_steps: int = 60):
+                            stage1_steps: int = 30, stage2_steps: int = 60,
+                            mesh=None):
     """Produce ``flame_{fps}fps.h5`` for one participant directory from its
     OpenFace CSV (+ optional RingNet init), the batched-XLA replacement for
-    the reference's extract_flame (flame.py:244-303)."""
+    the reference's extract_flame (flame.py:244-303).
+
+    ``mesh``: optional 1-axis device mesh; chunks are padded to a per-device
+    multiple and the frame axis sharded across it (the reference distributed
+    sessions over a Ray GPU actor pool, flame.py:266-291 — here one sharded
+    dispatch covers n_devices× the frames). Results are identical to the
+    single-device driver (tests/test_flame_fit.py pins equality)."""
     import csv
 
     from lets_face_it_tpu.render.flame import load_flame
@@ -266,6 +294,16 @@ def fit_session_participant(part_dir, fps: int, *, model=None, emb=None,
                         fp["pose"][:, 3:6], ((0, 0), (3, 6))),
                     "shape": fp["shape"][()], "exp": fp["expression"][()]}
 
+    quantum = min(batch_frames, 32)
+    if mesh is not None:
+        # equal per-device shards: quantize to a multiple of the device
+        # count too (32 already covers the common 2/4/8/16/32 meshes), and
+        # keep the chunk stride a quantum multiple
+        import math
+
+        quantum = math.lcm(quantum, mesh.devices.size)
+        batch_frames = max(batch_frames // quantum * quantum, quantum)
+
     results = {k: [] for k in ("tf_trans", "tf_rot", "tf_pose", "tf_shape",
                                "tf_exp")}
     for lo in range(0, n, batch_frames):
@@ -280,7 +318,6 @@ def fit_session_participant(part_dir, fps: int, *, model=None, emb=None,
         # clips cheap (edge targets repeat the last frame; padded rows are
         # sliced off)
         keep = hi - lo
-        quantum = min(batch_frames, 32)
         padded = min(batch_frames, -(-keep // quantum) * quantum)
         pad = padded - keep
         chunk_targets = targets[lo:hi]
@@ -293,7 +330,7 @@ def fit_session_participant(part_dir, fps: int, *, model=None, emb=None,
                     for k, v in chunk_init.items()}
         params, _ = fit_batch(model, emb, chunk_targets, chunk_init,
                               stage1_steps=stage1_steps,
-                              stage2_steps=stage2_steps)
+                              stage2_steps=stage2_steps, mesh=mesh)
         results["tf_trans"].append(np.asarray(params["trans"])[:keep])
         results["tf_rot"].append(np.asarray(params["rot"])[:keep])
         results["tf_pose"].append(np.asarray(params["pose"])[:keep])

@@ -50,6 +50,108 @@ def test_fit_recovers_rigid_pose():
         assert err < 0.02, err
 
 
+def test_fit_batch_sharded_matches_single_device():
+    """Frame-axis sharding over the 8-device mesh (the reference's Ray GPU
+    actor-pool role) must return the same fit as the single-device path —
+    the solve is frame-independent, so GSPMD splits it with no collectives."""
+    import jax
+
+    from lets_face_it_tpu.parallel import mesh as pmesh
+
+    rng = np.random.default_rng(11)
+    n = 16
+    true = []
+    for _ in range(n):
+        true.append({
+            "trans": jnp.asarray(rng.uniform(-0.05, 0.05, 3), jnp.float32),
+            "rot": jnp.asarray(rng.uniform(-0.2, 0.2, 3), jnp.float32),
+            "pose": jnp.zeros(12),
+            "shape": jnp.zeros(300),
+            "exp": jnp.zeros(100),
+            "scale": jnp.asarray(900.0),
+        })
+    targets = _targets_from_params(true)
+    steps = dict(stage1_steps=10, stage2_steps=10)
+
+    params_1, losses_1 = flame_fit.fit_batch(MODEL, EMB, targets, **steps)
+    mesh = pmesh.make_mesh()
+    params_8, losses_8 = flame_fit.fit_batch(MODEL, EMB, targets, mesh=mesh,
+                                             **steps)
+    # the fit stays sharded across the mesh (no gather onto one device)
+    assert len({s.device for s in losses_8.addressable_shards}) == 8
+    # Sharding changes XLA reduction order; 20 L-BFGS iterations amplify
+    # the ulp-level differences chaotically. Measured: losses within 2e-6
+    # absolute (scale 6e-4), params within 2e-4 — the same converged fit.
+    np.testing.assert_allclose(np.asarray(losses_8), np.asarray(losses_1),
+                               atol=1e-5)
+    for k in params_1:
+        np.testing.assert_allclose(np.asarray(params_8[k]),
+                                   np.asarray(params_1[k]), atol=1e-3)
+
+    # non-divisible frame counts are rejected loudly (the session driver
+    # pads chunks to a per-device multiple instead)
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        flame_fit.fit_batch(MODEL, EMB, targets[:6], mesh=mesh, **steps)
+
+
+def test_fit_session_sharded_matches_single_device(tmp_path):
+    """End-to-end session driver equality: the mesh-sharded driver writes
+    the same flame h5 as the single-device one (ragged final chunk padded
+    to a per-device multiple)."""
+    import shutil
+
+    from lets_face_it_tpu.parallel import mesh as pmesh
+
+    rng = np.random.default_rng(12)
+    n_frames = 40  # not a multiple of 8: exercises the lcm padding
+    true = []
+    for _ in range(n_frames):
+        true.append({
+            "trans": jnp.asarray(rng.uniform(-0.03, 0.03, 3), jnp.float32),
+            "rot": jnp.asarray(rng.uniform(-0.1, 0.1, 3), jnp.float32),
+            "pose": jnp.zeros(12),
+            "shape": jnp.zeros(300),
+            "exp": jnp.zeros(100),
+            "scale": jnp.asarray(900.0),
+        })
+    targets = _targets_from_params(true)
+
+    def write_part(d):
+        d.mkdir(parents=True)
+        with open(d / "openface_25fps.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow([f"c{i}" for i in range(436)])
+            for ts in range(n_frames):
+                full = np.zeros((68, 2), np.float32)
+                full[17:] = targets[ts]
+                full[17:, 1] = 1024.0 - full[17:, 1]
+                w.writerow(["0", str(ts), str(ts / 25), "0.99", "1"]
+                           + ["0"] * 294
+                           + [str(v) for v in full[:, 0]]
+                           + [str(v) for v in full[:, 1]] + ["0"])
+
+    part_a, part_b = tmp_path / "single" / "P1", tmp_path / "sharded" / "P1"
+    write_part(part_a)
+    write_part(part_b)
+    steps = dict(stage1_steps=10, stage2_steps=10, batch_frames=32)
+
+    out_a = flame_fit.fit_session_participant(part_a, 25, model=MODEL,
+                                              emb=EMB, **steps)
+    out_b = flame_fit.fit_session_participant(part_b, 25, model=MODEL,
+                                              emb=EMB,
+                                              mesh=pmesh.make_mesh(),
+                                              **steps)
+    with h5py.File(out_a) as fa, h5py.File(out_b) as fb:
+        for key in ("tf_trans", "tf_rot", "tf_pose", "tf_shape", "tf_exp"):
+            assert fa[key].shape == fb[key].shape == (
+                (n_frames,) + fa[key].shape[1:])
+            # same reduction-order tolerance rationale as the fit_batch test
+            np.testing.assert_allclose(fb[key][()], fa[key][()], atol=1e-3)
+    shutil.rmtree(tmp_path / "sharded")
+
+
 def test_fit_with_expression():
     rng = np.random.default_rng(3)
     n = 2

@@ -24,3 +24,20 @@ def test_readme_table_matches_latest_capture():
     assert block == render_table(capture), (
         "README performance table is stale — regenerate with "
         "`python tools/pin_readme.py <bench.json>`")
+
+
+def test_pinned_values_lie_inside_measurement_bands():
+    """The pinned headline numbers are medians-of-3 and must sit inside the
+    newest capture's min-max band — the README can never publish a lucky
+    tail again (r3 weak #3)."""
+    capture = json.loads((REPO / "runs" / "bench_latest.json").read_text())
+    bands = capture.get("bands")
+    assert bands, ("newest capture carries no measurement bands — "
+                   "re-run bench.py (r4+) and re-pin")
+    for key, (lo, hi) in bands.items():
+        value = capture[key] if key != "value" else capture["value"]
+        assert lo <= value <= hi, (
+            f"{key}: pinned {value} outside measured band [{lo}, {hi}]")
+        assert hi <= 1.25 * max(lo, 1e-9), (
+            f"{key}: band spread {hi / lo:.2f}x — measurement too noisy to "
+            "pin; investigate before publishing")
