@@ -25,6 +25,11 @@ import numpy as np
 # Pallas sampling kernel pins its own dot precision
 jax.config.update("jax_default_matmul_precision", "highest")
 
+from lets_face_it_tpu.utils.compile_cache import (  # noqa: E402
+    enable_persistent_compile_cache)
+
+enable_persistent_compile_cache()
+
 from __graft_entry__ import _example_batch, _tiny_final_hparams
 
 REALTIME_FPS = 25.0

@@ -43,6 +43,10 @@ def main():
     import numpy as np
 
     from lets_face_it_tpu.sample import Generator
+    from lets_face_it_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache)
+
+    enable_persistent_compile_cache()
 
     gen = Generator.from_checkpoint(args.ckpt, hparams_file=args.hparams,
                                     dataset_root=args.dataset_root)

@@ -117,7 +117,12 @@ def _run_trial(hp_dict, batch_size, max_steps, seed, return_dict):
     try:
         from lets_face_it_tpu.hparams import HParams
         from lets_face_it_tpu.train.loop import train
+        from lets_face_it_tpu.utils.compile_cache import (
+            enable_persistent_compile_cache)
 
+        # spawn subprocesses share compiled executables across trials
+        # (shapes repeat whenever the search space keeps dims fixed)
+        enable_persistent_compile_cache()
         hp = HParams(**hp_dict)
         hp.batch_size = batch_size
         step_hook, val_hook = _pruning_hooks()

@@ -37,6 +37,10 @@ def main():
 
     from lets_face_it_tpu.sample import Generator
     from lets_face_it_tpu.train.evaluate import run_test, summarize
+    from lets_face_it_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache)
+
+    enable_persistent_compile_cache()
 
     overrides = {}
     if args.batch_size:

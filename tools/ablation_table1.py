@@ -116,6 +116,10 @@ def main() -> None:
     import jax
 
     from lets_face_it_tpu.data.synthetic import write_synthetic_dataset
+    from lets_face_it_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache)
+
+    enable_persistent_compile_cache()
 
     target = Path(args.dataset_root) / "lets_face_it.h5"
     if not target.exists():

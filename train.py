@@ -61,6 +61,10 @@ def main():
     import jax
 
     from lets_face_it_tpu.hparams import load_hparams
+    from lets_face_it_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache)
+
+    enable_persistent_compile_cache()
 
     overrides = {}
     if args.batch_size is not None:

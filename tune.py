@@ -36,6 +36,10 @@ def _run_worker(hparams_file, dataset_root, n_trials, max_steps, seed,
     from hparam_tuning_configs import hparam_configs
     from lets_face_it_tpu.hparams import load_hparams
     from lets_face_it_tpu.train.tuning import Study
+    from lets_face_it_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache)
+
+    enable_persistent_compile_cache()
 
     conf_name = Path(hparams_file).stem
     if conf_name not in hparam_configs:
