@@ -59,8 +59,18 @@ class NativeGather:
         return out
 
 
-def prefetch_batches(iterator: Iterator, depth: int = 2) -> Iterator:
-    """Run ``iterator`` in a daemon thread; yield from a bounded queue."""
+def prefetch_batches(iterator: Iterator, depth: int = 2,
+                     transfer=None) -> Iterator:
+    """Run ``iterator`` in a daemon thread; yield from a bounded queue.
+
+    ``transfer`` (optional) is applied to each item inside the worker thread.
+    Passing the host->device copy here (``jnp.asarray`` / ``shard_batch``,
+    both async dispatches) double-buffers the upload against the accelerator
+    step. This matters on a remote-TPU transport, where a b256 training batch
+    is ~18 MB on the wire per step: issued from the consumer thread it
+    serialises with the step dispatch (measured 2.8 steps/s end-to-end vs
+    8.7 device-side), issued from the worker it overlaps.
+    """
     q: queue.Queue = queue.Queue(maxsize=depth)
     _END = object()
     err: list[BaseException] = []
@@ -68,7 +78,7 @@ def prefetch_batches(iterator: Iterator, depth: int = 2) -> Iterator:
     def worker():
         try:
             for item in iterator:
-                q.put(item)
+                q.put(item if transfer is None else transfer(item))
         except BaseException as exc:  # propagate into the consumer
             err.append(exc)
         finally:

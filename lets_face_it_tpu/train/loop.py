@@ -219,17 +219,41 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
         # from a running np_rng instead would replay epochs 0..E's shuffles
         # after a resume at epoch E.
         np_rng = np.random.default_rng([seed, epoch])
-        for batch in prefetch_batches(
+        # The host->device upload runs inside the prefetch worker so the
+        # (large, per-step) batch transfer overlaps the accelerator step
+        # instead of serialising with the dispatch — see prefetch_batches.
+        # wire_dtype=bf16 (opt-in, production bf16 runs) additionally ships
+        # float batches as bfloat16 — half the bytes on a remote transport —
+        # and upcasts to f32 on device, so the model sees f32 exactly as
+        # before, with values rounded to the bf16 grid the precision-16
+        # matmuls round to anyway.
+        wire_bf16 = str(getattr(hp, "wire_dtype", "f32") or "f32") == "bf16"
+
+        def to_device(b):
+            if wire_bf16:
+                import ml_dtypes
+
+                b = {k: (np.asarray(v).astype(ml_dtypes.bfloat16)
+                         if np.issubdtype(np.asarray(v).dtype, np.floating)
+                         else v)
+                     for k, v in b.items()}
+            jb = (pmesh.shard_batch(mesh, b) if mesh is not None
+                  else {k: jnp.asarray(v) for k, v in b.items()})
+            if wire_bf16:
+                jb = {k: (v.astype(jnp.float32)
+                          if v.dtype == jnp.bfloat16 else v)
+                      for k, v in jb.items()}
+            return jb
+        for jb in prefetch_batches(
                 train_ds.epoch_batches(hp.batch_size, rng=np_rng,
-                                       shuffle=True, drop_last=True)):
+                                       shuffle=True, drop_last=True),
+                transfer=to_device):
             if not actnorm_inited:
-                state = train_state.run_actnorm_init(spec, state, batch)
+                state = train_state.run_actnorm_init(spec, state, jb)
                 if mesh is not None:
                     state = pmesh.replicate(mesh, state)
                 actnorm_inited = True
 
-            jb = (pmesh.shard_batch(mesh, batch) if mesh is not None
-                  else {k: jnp.asarray(v) for k, v in batch.items()})
             state, step_metrics = train_step(state, jb)
             global_step += 1
 

@@ -36,6 +36,11 @@ def main():
                         help="override the hparams precision: 32 = f32 "
                              "parity matmuls, 16 = bf16-multiply production "
                              "mode (~2.4x train throughput)")
+    parser.add_argument("--wire_dtype", default=None, choices=("f32", "bf16"),
+                        help="host->device batch wire format: bf16 halves "
+                             "the per-step upload (values upcast to f32 on "
+                             "device, rounded to the bf16 grid) — pair with "
+                             "--precision 16 on remote-TPU transports")
     parser.add_argument("--synthetic-data", action="store_true",
                         help="write a synthetic fixture into dataset_root first")
     parser.add_argument("--resume_from", default=None,
@@ -73,6 +78,8 @@ def main():
         overrides["max_epochs"] = args.max_epochs
     if args.precision is not None:
         overrides["precision"] = args.precision
+    if args.wire_dtype is not None:
+        overrides["wire_dtype"] = args.wire_dtype
     hp = load_hparams(args.hparams_file, dataset_root=args.dataset_root,
                       overrides=overrides)
 
