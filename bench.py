@@ -139,6 +139,58 @@ def bench_training(hp, spec, params, batch_size: int = 256, iters: int = 5,
     return 1.0 / dt, dt
 
 
+def bench_training_e2e(hp, spec, params, batch_size: int = 256,
+                       steps: int = 50, warm: int = 10):
+    """End-to-end training throughput: on-disk dataset -> native window
+    gather -> prefetch worker (host->device upload inside it) -> jitted,
+    chained step. This is the wall-clock number a user's training run sees;
+    ``bench_training`` is the device-resident ceiling. On a remote-TPU
+    transport the difference is the ~18 MB/step batch upload at b256 f32
+    (docs/PERF.md "input pipeline on a remote transport")."""
+    import os
+    from pathlib import Path
+
+    from lets_face_it_tpu.data.prefetch import prefetch_batches
+    from lets_face_it_tpu.data.synthetic import write_synthetic_dataset
+    from lets_face_it_tpu.data.windows import WindowDataset
+    from lets_face_it_tpu.train import state as train_state
+    from lets_face_it_tpu.train.optim import build_optimizer
+
+    root = Path(os.environ.get("LFI_BENCH_DATA", "/tmp/lfi_bench_e2e"))
+    data_file = root / "lets_face_it.h5"
+    if not data_file.exists():
+        write_synthetic_dataset(data_file, n_train_chunks=40, n_val_chunks=1,
+                                n_test_chunks=1, frames_per_chunk=400, seed=0)
+    ds = WindowDataset(data_file, "train", hp.Data, hp.Conditioning,
+                       hp.Train["seq_len"])
+    optimizer = build_optimizer(hp, steps_per_epoch=100)
+    state = train_state.init_train_state(jax.random.PRNGKey(0), spec,
+                                         optimizer)
+    step = train_state.make_train_step(spec, hp, optimizer)
+    to_dev = lambda b: {k: jax.numpy.asarray(v)  # noqa: E731
+                        for k, v in b.items()}
+
+    def batches():
+        epoch = 0
+        while True:
+            rng = np.random.default_rng([0, epoch])
+            yield from ds.epoch_batches(batch_size, rng=rng, shuffle=True,
+                                        drop_last=True)
+            epoch += 1
+
+    n, t0, m = 0, None, None
+    for jb in prefetch_batches(batches(), transfer=to_dev):
+        state, m = step(state, jb)
+        n += 1
+        if n == warm:
+            _hard_sync(m)
+            t0 = time.perf_counter()
+        if n >= warm + steps:
+            break
+    _hard_sync(m)
+    return steps / (time.perf_counter() - t0)
+
+
 def bench_batch_scaling(hp, spec, params, batch_sizes=(64, 128, 256, 512,
                                                        1024)):
     """Per-window training throughput vs batch size (VERDICT r1 item 5).
@@ -329,6 +381,12 @@ def main():
         print(f"b1024 training bench failed: {type(exc).__name__}: {exc}",
               file=sys.stderr)
         sps_1024 = None
+    try:
+        train_sps_e2e = bench_training_e2e(hp, spec, params)
+    except Exception as exc:
+        print(f"e2e training bench failed: {type(exc).__name__}: {exc}",
+              file=sys.stderr)
+        train_sps_e2e = None
     batch_table = (bench_batch_scaling(hp, spec, params) if scaling else None)
     # production bf16 rows: the fused kernels follow the ambient matmul
     # precision (single-pass MXU dots here), measured 1.26x over XLA-bf16
@@ -362,6 +420,10 @@ def main():
         "streaming_realtime_headroom": round(
             (1e3 / REALTIME_FPS) / max(stream_p50, 1e-9), 1),
         "train_steps_per_sec_b256_T80": round(train_sps, 3),
+        # wall-clock including the on-disk input pipeline + batch upload
+        "train_steps_per_sec_b256_e2e": (round(train_sps_e2e, 3)
+                                         if train_sps_e2e is not None
+                                         else None),
         "train_steps_per_sec_b256_T80_bf16matmul": round(train_sps_fast, 3),
         "sampling_fps_batch1_bf16matmul": round(fps_b1_fast, 1),
         "sampling_fps_batched_bf16matmul": round(fps_batch_fast, 1),
