@@ -167,6 +167,13 @@ def bench_training_e2e(hp, spec, params, batch_size: int = 256,
     state = train_state.init_train_state(jax.random.PRNGKey(0), spec,
                                          optimizer)
     step = train_state.make_train_step(spec, hp, optimizer)
+
+    # same data-path policy as the train loop: device-resident gather on
+    # accelerators (ship ~1 KB of indices/step), streaming host path with
+    # the in-worker upload otherwise
+    from lets_face_it_tpu.data.device_cache import make_device_batcher
+
+    batcher = make_device_batcher(ds, hp)
     to_dev = lambda b: {k: jax.numpy.asarray(v)  # noqa: E731
                         for k, v in b.items()}
 
@@ -174,12 +181,20 @@ def bench_training_e2e(hp, spec, params, batch_size: int = 256,
         epoch = 0
         while True:
             rng = np.random.default_rng([0, epoch])
-            yield from ds.epoch_batches(batch_size, rng=rng, shuffle=True,
-                                        drop_last=True)
+            if batcher is not None:
+                for sel in ds.epoch_index_batches(batch_size, rng=rng,
+                                                  shuffle=True,
+                                                  drop_last=True):
+                    yield batcher.get_batch(sel)
+            else:
+                yield from ds.epoch_batches(batch_size, rng=rng,
+                                            shuffle=True, drop_last=True)
             epoch += 1
 
+    iterator = (batches() if batcher is not None
+                else prefetch_batches(batches(), transfer=to_dev))
     n, t0, m = 0, None, None
-    for jb in prefetch_batches(batches(), transfer=to_dev):
+    for jb in iterator:
         state, m = step(state, jb)
         n += 1
         if n == warm:

@@ -108,9 +108,14 @@ class WindowDataset:
         return {name: NativeGather.gather(arr, starts, self.seq_len)
                 for name, arr in self.arrays.items()}
 
-    def epoch_batches(self, batch_size: int, *, rng: np.random.Generator | None = None,
-                      shuffle: bool = True, drop_last: bool = False,
-                      ) -> Iterator[dict[str, np.ndarray]]:
+    def epoch_index_batches(self, batch_size: int, *,
+                            rng: np.random.Generator | None = None,
+                            shuffle: bool = True, drop_last: bool = False,
+                            ) -> Iterator[np.ndarray]:
+        """The epoch's window-index batches, in the exact order
+        ``epoch_batches`` would gather them — the device-resident path
+        (data/device_cache.py) consumes these so host and device gathers
+        see identical data order for a given (rng, batch_size)."""
         order = np.arange(len(self))
         if shuffle:
             assert rng is not None
@@ -119,6 +124,14 @@ class WindowDataset:
             sel = order[i : i + batch_size]
             if drop_last and len(sel) < batch_size:
                 break
+            yield sel
+
+    def epoch_batches(self, batch_size: int, *, rng: np.random.Generator | None = None,
+                      shuffle: bool = True, drop_last: bool = False,
+                      ) -> Iterator[dict[str, np.ndarray]]:
+        for sel in self.epoch_index_batches(batch_size, rng=rng,
+                                            shuffle=shuffle,
+                                            drop_last=drop_last):
             yield self.get_batch(sel)
 
     def num_batches(self, batch_size: int, drop_last: bool = False) -> int:

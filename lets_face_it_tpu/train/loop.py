@@ -105,13 +105,19 @@ def scale_histograms(params) -> dict:
 
 def run_validation(spec: FlowSpec, hp: HParams, params, val_ds: WindowDataset,
                    eval_step, logger: MetricLogger, step: int, rng,
-                   render_client=None):
+                   render_client=None, dev_batcher=None):
     val_cfg = hp.Validation
     n_batches = 0
     total = 0.0
     first_batch = None
-    for batch in val_ds.epoch_batches(hp.batch_size, shuffle=False):
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    if dev_batcher is not None:
+        batches = (dev_batcher.get_batch(sel) for sel in
+                   val_ds.epoch_index_batches(hp.batch_size, shuffle=False))
+    else:
+        batches = ({k: jnp.asarray(v) for k, v in b.items()}
+                   for b in val_ds.epoch_batches(hp.batch_size,
+                                                 shuffle=False))
+    for jb in batches:
         z_seq, loss, _ = eval_step(params, jb)
         total += float(loss)
         n_batches += 1
@@ -209,7 +215,41 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
     t_start = time.time()
     done = False
 
+    from lets_face_it_tpu.data.device_cache import (DeviceWindowBatcher,
+                                                    make_device_batcher)
     from lets_face_it_tpu.data.prefetch import prefetch_batches
+
+    # Device-resident data path (the TPU-native default, hp.device_data_cache
+    # = auto|on|off): the split's arrays live in HBM and each batch is
+    # gathered on-device from ~1 KB of window-start indices — no per-step
+    # window upload. This is both the throughput fix (the b256 upload limited
+    # end-to-end training to 2.8 of the 8.7 device-side steps/s on the
+    # remote-TPU transport) and the durability fix (that transport pins a
+    # host copy of EVERY upload — tools/leak_probe.py — which OOM-killed a
+    # 60k-step run at 130 GB RSS). See data/device_cache.py.
+    dev_batcher = make_device_batcher(train_ds, hp, mesh=mesh)
+    val_batcher = (DeviceWindowBatcher(val_ds) if dev_batcher is not None
+                   else None)
+    # Streaming fallback (CPU / oversized corpora): the upload runs inside
+    # the prefetch worker so it at least overlaps the step; wire_dtype=bf16
+    # (opt-in) ships float batches as bfloat16 and upcasts on device.
+    wire_bf16 = str(getattr(hp, "wire_dtype", "f32") or "f32") == "bf16"
+
+    def to_device(b):
+        if wire_bf16:
+            import ml_dtypes
+
+            b = {k: (np.asarray(v).astype(ml_dtypes.bfloat16)
+                     if np.issubdtype(np.asarray(v).dtype, np.floating)
+                     else v)
+                 for k, v in b.items()}
+        jb = (pmesh.shard_batch(mesh, b) if mesh is not None
+              else {k: jnp.asarray(v) for k, v in b.items()})
+        if wire_bf16:
+            jb = {k: (v.astype(jnp.float32)
+                      if v.dtype == jnp.bfloat16 else v)
+                  for k, v in jb.items()}
+        return jb
 
     for epoch in range(start_epoch, max_epochs):
         # The shuffle order is a pure function of (seed, epoch) so a resumed
@@ -217,37 +257,21 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
         # have at this epoch (the reference gets the same property from
         # Lightning re-seeding its DataLoader sampler per epoch). Seeding
         # from a running np_rng instead would replay epochs 0..E's shuffles
-        # after a resume at epoch E.
+        # after a resume at epoch E. Both data paths consume the same
+        # epoch_index_batches order, so toggling the device cache never
+        # changes the trajectory.
         np_rng = np.random.default_rng([seed, epoch])
-        # The host->device upload runs inside the prefetch worker so the
-        # (large, per-step) batch transfer overlaps the accelerator step
-        # instead of serialising with the dispatch — see prefetch_batches.
-        # wire_dtype=bf16 (opt-in, production bf16 runs) additionally ships
-        # float batches as bfloat16 — half the bytes on a remote transport —
-        # and upcasts to f32 on device, so the model sees f32 exactly as
-        # before, with values rounded to the bf16 grid the precision-16
-        # matmuls round to anyway.
-        wire_bf16 = str(getattr(hp, "wire_dtype", "f32") or "f32") == "bf16"
-
-        def to_device(b):
-            if wire_bf16:
-                import ml_dtypes
-
-                b = {k: (np.asarray(v).astype(ml_dtypes.bfloat16)
-                         if np.issubdtype(np.asarray(v).dtype, np.floating)
-                         else v)
-                     for k, v in b.items()}
-            jb = (pmesh.shard_batch(mesh, b) if mesh is not None
-                  else {k: jnp.asarray(v) for k, v in b.items()})
-            if wire_bf16:
-                jb = {k: (v.astype(jnp.float32)
-                          if v.dtype == jnp.bfloat16 else v)
-                      for k, v in jb.items()}
-            return jb
-        for jb in prefetch_batches(
+        if dev_batcher is not None:
+            batch_iter = (dev_batcher.get_batch(sel) for sel in
+                          train_ds.epoch_index_batches(
+                              hp.batch_size, rng=np_rng, shuffle=True,
+                              drop_last=True))
+        else:
+            batch_iter = prefetch_batches(
                 train_ds.epoch_batches(hp.batch_size, rng=np_rng,
                                        shuffle=True, drop_last=True),
-                transfer=to_device):
+                transfer=to_device)
+        for jb in batch_iter:
             if not actnorm_inited:
                 state = train_state.run_actnorm_init(spec, state, jb)
                 if mesh is not None:
@@ -275,7 +299,8 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
             sub = jax.random.fold_in(rng, global_step)
             val_loss = run_validation(spec, hp, state.params, val_ds, eval_step,
                                       logger, global_step, sub,
-                                      render_client=render_client)
+                                      render_client=render_client,
+                                      dev_batcher=val_batcher)
             best_val = min(best_val, val_loss)
             if val_hook is not None:
                 val_hook(global_step, val_loss, hp, spec, state.params, val_ds)
