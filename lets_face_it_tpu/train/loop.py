@@ -212,6 +212,9 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
     best_val = float("inf")
     max_epochs = int(hp.max_epochs or 1)
     global_step = int(jax.device_get(state.step))
+    # Rate denominator for steps_per_sec: steps taken by THIS process, not
+    # the absolute counter (a resumed run restores step>0 at t=0).
+    start_step = global_step
     t_start = time.time()
     done = False
 
@@ -284,7 +287,8 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
             if verbose and global_step % 10 == 0:
                 m = {k: float(v) for k, v in jax.device_get(step_metrics).items()}
                 m["train_loss"] = m.pop("loss")
-                m["steps_per_sec"] = global_step / (time.time() - t_start)
+                m["steps_per_sec"] = ((global_step - start_step)
+                                      / (time.time() - t_start))
                 logger.scalars(global_step, m)
                 if step_hook is not None:
                     step_hook(global_step, m)
