@@ -291,9 +291,10 @@ def _validate_splits_dir(splits_file):
     # The combine stage consumes ONLY the splits file; schema errors in
     # optional sibling JSONs (annotations.json, meta_data.json, ...) must
     # not block an otherwise valid combine run — demote them to warnings.
-    # Every finding is prefixed with its source file's name.
+    # Every finding is prefixed with its source file's name (either
+    # "name: msg" or "name['key']...: msg" — match on the bare name).
     splits_name = Path(splits_file).name
-    blocking = [e for e in errors if e.startswith(f"{splits_name}:")]
+    blocking = [e for e in errors if e.startswith(splits_name)]
     warnings = warnings + [e for e in errors if e not in blocking]
     for w in warnings:
         log(f"data-json WARNING: {w}")

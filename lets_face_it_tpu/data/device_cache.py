@@ -89,23 +89,30 @@ class DeviceWindowBatcher:
         return self._gather(self.arrays, starts)
 
 
-def make_device_batcher(ds, hp, mesh=None):
+def make_device_batcher(ds, hp, mesh=None, reserved_bytes: int = 0):
     """Policy: ``hp.device_data_cache`` = auto (default) | on | off.
 
     auto: engage on accelerator platforms when the split fits
     ``AUTO_MAX_BYTES`` per device; stay on the host-gather path on CPU
     (where there is no transfer to save) and for corpora that don't fit
     (those stream, with the documented leak caveat — docs/PERF.md).
+
+    ``reserved_bytes``: HBM already claimed by other cached splits — the
+    auto budget applies to the sum, so caching the train split shrinks the
+    val split's allowance.
     """
     mode = str(getattr(hp, "device_data_cache", "auto") or "auto").lower()
     if mode == "off":
         return None
+    if mode not in ("auto", "on"):
+        raise ValueError(f"device_data_cache={mode!r}: expected auto|on|off")
     total = int(sum(v.nbytes for v in ds.arrays.values()))
     if mode == "auto":
         if jax.devices()[0].platform == "cpu":
             return None
-        if total > AUTO_MAX_BYTES:
+        if total + reserved_bytes > AUTO_MAX_BYTES:
             print(f"device_data_cache=auto: split is {total / 1e9:.1f} GB "
+                  f"(+{reserved_bytes / 1e9:.1f} GB already cached) "
                   f"> {AUTO_MAX_BYTES / 1e9:.0f} GB budget; streaming from "
                   "host (bounded-lifetime processes recommended, see "
                   "docs/PERF.md)", flush=True)

@@ -74,21 +74,52 @@ def prefetch_batches(iterator: Iterator, depth: int = 2,
     q: queue.Queue = queue.Queue(maxsize=depth)
     _END = object()
     err: list[BaseException] = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """Bounded put that gives up once the consumer is gone."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterator:
-                q.put(item if transfer is None else transfer(item))
+                if not _put(item if transfer is None else transfer(item)):
+                    return
         except BaseException as exc:  # propagate into the consumer
             err.append(exc)
         finally:
-            q.put(_END)
+            _put(_END)
 
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _END:
-            if err:
-                raise err[0]
-            return
-        yield item
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # The consumer may abandon this generator early (max_steps break).
+        # Without cleanup the worker stays blocked on q.put for the process
+        # lifetime, pinning `depth`+1 transferred batches — device arrays
+        # (plus their pinned host copies on the remote-TPU transport).
+        stop.set()
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=5)
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

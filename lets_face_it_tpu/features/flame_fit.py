@@ -172,6 +172,7 @@ def fit_batch(model: FlameModel, emb: LandmarkEmbedding, targets,
     """
     targets = jnp.asarray(targets, jnp.float32)
     n = targets.shape[0]
+    sh = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -193,10 +194,7 @@ def fit_batch(model: FlameModel, emb: LandmarkEmbedding, targets,
         for k, v in init.items():
             v = jnp.asarray(v, jnp.float32)
             zeros[k] = zeros[k].at[:, : v.shape[1]].set(v)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+    if sh is not None:
         zeros = {k: jax.device_put(v, sh) for k, v in zeros.items()}
     return _fit_batch_impl(model, emb, targets, zeros,
                            stage1_steps, stage2_steps)

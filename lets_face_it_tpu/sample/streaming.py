@@ -159,7 +159,12 @@ class StreamingGenerator:
                 arr = jnp.asarray(val, jnp.float32)
                 # scan consumes xs along the leading axis: [B,k,D] -> [k,B,D]
                 inputs[name] = jnp.moveaxis(arr, 1, 0)
-                k = arr.shape[1] if k is None else k
+                if k is None:
+                    k = arr.shape[1]
+                elif arr.shape[1] != k:
+                    raise ValueError(
+                        f"push_many: {name} carries {arr.shape[1]} frames "
+                        f"but an earlier modality carries {k}")
         (self.face_hist, self.windows, self.states, self.rng,
          x_kt) = self._step_many(self.face_hist, self.windows, self.states,
                                  self.rng, inputs, self.eps_std)

@@ -218,8 +218,7 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
     t_start = time.time()
     done = False
 
-    from lets_face_it_tpu.data.device_cache import (DeviceWindowBatcher,
-                                                    make_device_batcher)
+    from lets_face_it_tpu.data.device_cache import make_device_batcher
     from lets_face_it_tpu.data.prefetch import prefetch_batches
 
     # Device-resident data path (the TPU-native default, hp.device_data_cache
@@ -231,8 +230,11 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
     # host copy of EVERY upload — tools/leak_probe.py — which OOM-killed a
     # 60k-step run at 130 GB RSS). See data/device_cache.py.
     dev_batcher = make_device_batcher(train_ds, hp, mesh=mesh)
-    val_batcher = (DeviceWindowBatcher(val_ds) if dev_batcher is not None
-                   else None)
+    # The val split rides the same size/platform policy gate; in auto mode
+    # its budget is whatever the cached train split left over.
+    val_batcher = (make_device_batcher(
+                       val_ds, hp, reserved_bytes=dev_batcher.total_bytes)
+                   if dev_batcher is not None else None)
     # Streaming fallback (CPU / oversized corpora): the upload runs inside
     # the prefetch worker so it at least overlaps the step; wire_dtype=bf16
     # (opt-in) ships float batches as bfloat16 and upcasts on device.

@@ -81,6 +81,24 @@ def test_auto_policy(ds):
     assert on.total_bytes <= AUTO_MAX_BYTES
 
 
+def test_auto_policy_budget_and_invalid_mode(ds, monkeypatch):
+    # typos must error, not silently force the cache on
+    with pytest.raises(ValueError, match="device_data_cache"):
+        make_device_batcher(ds, tiny_hparams(device_data_cache="offf"))
+
+    # pretend we're on an accelerator so the auto size gate is reachable
+    import lets_face_it_tpu.data.device_cache as dc
+
+    class _Dev:
+        platform = "tpu"
+
+    monkeypatch.setattr(dc.jax, "devices", lambda: [_Dev()])
+    assert make_device_batcher(ds, tiny_hparams()) is not None
+    # HBM already claimed by another split shrinks this split's allowance
+    assert make_device_batcher(ds, tiny_hparams(),
+                               reserved_bytes=AUTO_MAX_BYTES) is None
+
+
 def _run(tmp_path, cache_mode, seed=5):
     write_synthetic_dataset(tmp_path / "synthetic.h5", dims=tiny_dims(),
                             n_train_chunks=2, n_val_chunks=1, n_test_chunks=1,

@@ -53,6 +53,37 @@ def test_prefetch_transfer_errors_propagate():
                               transfer=bad_transfer))
 
 
+def test_prefetch_early_break_releases_worker():
+    """An abandoned prefetch generator (the train loop's max_steps break)
+    must stop the worker thread and drop queued items — otherwise the worker
+    blocks on q.put forever, pinning transferred device batches."""
+    import threading
+    import time
+
+    produced = []
+
+    def gen():
+        i = 0
+        while True:
+            produced.append(i)
+            yield {"x": np.full((2,), i)}
+            i += 1
+
+    before = set(threading.enumerate())
+    it = prefetch_batches(gen(), depth=2)
+    assert next(it) is not None
+    it.close()  # what GC does to the abandoned generator
+
+    extra = [t for t in threading.enumerate() if t not in before]
+    deadline = time.time() + 6
+    while time.time() < deadline and any(t.is_alive() for t in extra):
+        time.sleep(0.05)
+    assert not any(t.is_alive() for t in extra), "worker thread leaked"
+    n = len(produced)
+    time.sleep(0.2)
+    assert len(produced) == n, "worker kept producing after close"
+
+
 def test_prefetch_propagates_errors():
     def gen():
         yield 1

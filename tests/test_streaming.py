@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lets_face_it_tpu.model import FlowSpec, init_seqglow, seqglow
 from lets_face_it_tpu.sample.streaming import StreamingGenerator
@@ -81,6 +82,13 @@ def test_push_many_matches_per_frame_pushes():
     # the post-catch-up state continues the same trajectory
     np.testing.assert_allclose(np.asarray(gen_b.push(**tail)),
                                np.asarray(gen_a.push(**tail)), atol=1e-5)
+
+    # mismatched per-modality frame counts must fail at the API boundary,
+    # not as an opaque scan shape error inside the jitted step
+    bad = dict(frames)
+    bad["p1_speech"] = frames["p1_speech"][:, :-1]
+    with pytest.raises(ValueError, match="frames"):
+        gen_b.push_many(**bad)
 
 
 def test_streaming_reset():

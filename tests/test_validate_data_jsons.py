@@ -62,6 +62,28 @@ def test_missing_required_file_is_an_error(tmp_path):
     assert any("train_val_test.json: missing" in e for e in errors)
 
 
+def test_combine_gate_blocks_on_splits_errors_only(tmp_path):
+    """extract_features' pre-combine gate must hard-fail on ANY splits-file
+    schema error (including the bracketed "name['train']...: msg" format)
+    while demoting errors in optional sibling JSONs to warnings."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from extract_features import _validate_splits_dir
+
+    _write_good(tmp_path)
+    splits = tmp_path / "train_val_test.json"
+
+    # malformed optional sibling only -> warn, don't exit
+    (tmp_path / "annotations.json").write_text(json.dumps({"S1": "wat"}))
+    _validate_splits_dir(splits)
+
+    # degenerate interval inside the splits file -> bracketed error, must exit
+    splits.write_text(json.dumps(
+        {"train": {"S1": [[5000, 1000]]}, "val": {"S2": [[0, 30000]]},
+         "test": {"S3": [[0, 20000]]}}))
+    with pytest.raises(SystemExit):
+        _validate_splits_dir(splits)
+
+
 @pytest.mark.skipif(not REFERENCE_DATA.exists(),
                     reason="reference data not present")
 def test_reference_shipped_jsons_validate_clean():
