@@ -177,22 +177,27 @@ def bench_training_e2e(hp, spec, params, batch_size: int = 256,
     to_dev = lambda b: {k: jax.numpy.asarray(v)  # noqa: E731
                         for k, v in b.items()}
 
-    def batches():
+    def index_batches():
         epoch = 0
         while True:
             rng = np.random.default_rng([0, epoch])
-            if batcher is not None:
-                for sel in ds.epoch_index_batches(batch_size, rng=rng,
-                                                  shuffle=True,
-                                                  drop_last=True):
-                    yield batcher.get_batch(sel)
-            else:
-                yield from ds.epoch_batches(batch_size, rng=rng,
-                                            shuffle=True, drop_last=True)
+            yield from ds.epoch_index_batches(batch_size, rng=rng,
+                                              shuffle=True, drop_last=True)
             epoch += 1
 
-    iterator = (batches() if batcher is not None
-                else prefetch_batches(batches(), transfer=to_dev))
+    def host_batches():
+        epoch = 0
+        while True:
+            rng = np.random.default_rng([0, epoch])
+            yield from ds.epoch_batches(batch_size, rng=rng, shuffle=True,
+                                        drop_last=True)
+            epoch += 1
+
+    # both paths dispatch the batch delivery from the prefetch worker so it
+    # overlaps the step dispatch (train/loop.py does the same)
+    iterator = (prefetch_batches(index_batches(), transfer=batcher.get_batch)
+                if batcher is not None
+                else prefetch_batches(host_batches(), transfer=to_dev))
     n, t0, m = 0, None, None
     for jb in iterator:
         state, m = step(state, jb)

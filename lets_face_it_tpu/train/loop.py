@@ -267,10 +267,14 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
         # changes the trajectory.
         np_rng = np.random.default_rng([seed, epoch])
         if dev_batcher is not None:
-            batch_iter = (dev_batcher.get_batch(sel) for sel in
-                          train_ds.epoch_index_batches(
-                              hp.batch_size, rng=np_rng, shuffle=True,
-                              drop_last=True))
+            # The gather dispatch (index upload + on-device window gather)
+            # runs in the prefetch worker so its host-side dispatch latency
+            # (a few ms/step on the remote-TPU transport) overlaps the step
+            # dispatch instead of serializing with it.
+            batch_iter = prefetch_batches(
+                train_ds.epoch_index_batches(hp.batch_size, rng=np_rng,
+                                             shuffle=True, drop_last=True),
+                transfer=dev_batcher.get_batch)
         else:
             batch_iter = prefetch_batches(
                 train_ds.epoch_batches(hp.batch_size, rng=np_rng,
