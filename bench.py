@@ -76,9 +76,11 @@ def bench_sampling(hp, spec, params, batch_size: int, gen_frames: int = 100,
         # fixed small iter count leaves fast configs (bf16 b128 runs ~5-7
         # ms/call) with a difference the same magnitude as the remote
         # transport's RTT jitter — measured as a 1.6x-wide band at 5 iters.
+        # The probe is itself jitter-exposed, so take the median of 3.
         pk = list(jax.random.split(jax.random.PRNGKey(2), 6))
-        probe = max((timed(pk) - timed(pk[:3])) / 3, 1e-4)
-        iters = int(min(max(5, round(0.75 / probe)), 300))
+        probes = sorted(max((timed(pk) - timed(pk[:3])) / 3, 1e-4)
+                        for _ in range(3))
+        iters = int(min(max(5, round(0.75 / probes[1])), 300))
 
     # pre-split keys: an eager fold_in per iteration would be a separate
     # host->device dispatch inside the timing loop
@@ -182,27 +184,22 @@ def bench_training_e2e(hp, spec, params, batch_size: int = 256,
     to_dev = lambda b: {k: jax.numpy.asarray(v)  # noqa: E731
                         for k, v in b.items()}
 
-    def index_batches():
+    def endless(method):
+        # same per-epoch (seed, epoch) reseeding as train/loop.py
         epoch = 0
         while True:
             rng = np.random.default_rng([0, epoch])
-            yield from ds.epoch_index_batches(batch_size, rng=rng,
-                                              shuffle=True, drop_last=True)
-            epoch += 1
-
-    def host_batches():
-        epoch = 0
-        while True:
-            rng = np.random.default_rng([0, epoch])
-            yield from ds.epoch_batches(batch_size, rng=rng, shuffle=True,
-                                        drop_last=True)
+            yield from method(batch_size, rng=rng, shuffle=True,
+                              drop_last=True)
             epoch += 1
 
     # both paths dispatch the batch delivery from the prefetch worker so it
     # overlaps the step dispatch (train/loop.py does the same)
-    iterator = (prefetch_batches(index_batches(), transfer=batcher.get_batch)
+    iterator = (prefetch_batches(endless(ds.epoch_index_batches),
+                                 transfer=batcher.get_batch)
                 if batcher is not None
-                else prefetch_batches(host_batches(), transfer=to_dev))
+                else prefetch_batches(endless(ds.epoch_batches),
+                                      transfer=to_dev))
     n, t0, m = 0, None, None
     for jb in iterator:
         state, m = step(state, jb)
@@ -246,9 +243,14 @@ def bench_streaming(hp, spec, params, n_frames: int = 200):
     The per-frame fetch makes each iteration a full host round trip, so on
     the axon remote transport these numbers include tunnel RTT (a production
     serving host sits next to the chip; docs/PERF.md). ``chained_ms`` is the
-    per-frame cost WITHOUT the per-frame fetch — N-vs-2N difference over a
-    state-chained push loop (in-order execution, so the difference method is
-    valid) — i.e. the device-side step cost."""
+    per-frame cost WITHOUT the per-frame fetch — median of 3 N-vs-2N
+    differences over a state-chained push loop (in-order execution, so the
+    difference method is valid). It measures max(per-dispatch transport
+    cost, device step cost), i.e. an UPPER BOUND on the device step: when
+    the tunnel's dispatch rate is the slower side (observed r4: 1.1-1.5 ms
+    while the profiler pinned the device step at 0.245 ms,
+    tools/streaming_step_probe.py), the chained loop is dispatch-bound and
+    this reports transport throughput, not silicon."""
     from lets_face_it_tpu.sample.streaming import StreamingGenerator
 
     c = spec.channels
@@ -287,9 +289,12 @@ def bench_streaming(hp, spec, params, n_frames: int = 200):
         return time.perf_counter() - t0
 
     chained(n_frames)                      # settle the queue
-    t_short = chained(n_frames)
-    t_long = chained(2 * n_frames)
-    chained_ms = max(t_long - t_short, 1e-9) / n_frames * 1e3
+    diffs = []
+    for _ in range(3):                     # median rejects transport noise
+        t_short = chained(n_frames)
+        t_long = chained(2 * n_frames)
+        diffs.append(max(t_long - t_short, 1e-9) / n_frames * 1e3)
+    chained_ms = sorted(diffs)[1]
     return (float(np.percentile(lat_ms, 50)),
             float(np.percentile(lat_ms, 99)), chained_ms)
 

@@ -101,7 +101,14 @@ def make_device_batcher(ds, hp, mesh=None, reserved_bytes: int = 0):
     auto budget applies to the sum, so caching the train split shrinks the
     val split's allowance.
     """
-    mode = str(getattr(hp, "device_data_cache", "auto") or "auto").lower()
+    raw = getattr(hp, "device_data_cache", "auto")
+    if isinstance(raw, bool):
+        # YAML 1.1 parses bare `on`/`off` as booleans — the documented
+        # spellings must keep meaning on/off, and False must NOT fall
+        # through an `or "auto"` default
+        mode = "on" if raw else "off"
+    else:
+        mode = str(raw or "auto").lower()
     if mode == "off":
         return None
     if mode not in ("auto", "on"):

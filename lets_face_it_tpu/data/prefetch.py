@@ -111,15 +111,15 @@ def prefetch_batches(iterator: Iterator, depth: int = 2,
         # Without cleanup the worker stays blocked on q.put for the process
         # lifetime, pinning `depth`+1 transferred batches — device arrays
         # (plus their pinned host copies on the remote-TPU transport).
+        def drain():
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+
         stop.set()
-        while not q.empty():
-            try:
-                q.get_nowait()
-            except queue.Empty:
-                break
+        drain()          # unblock a put the worker entered before stop.set()
         t.join(timeout=5)
-        while not q.empty():
-            try:
-                q.get_nowait()
-            except queue.Empty:
-                break
+        drain()          # clear anything that put deposited (after stop, the
+                         # worker's _put re-checks the flag and never puts)

@@ -231,7 +231,10 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
     # 60k-step run at 130 GB RSS). See data/device_cache.py.
     dev_batcher = make_device_batcher(train_ds, hp, mesh=mesh)
     # The val split rides the same size/platform policy gate; in auto mode
-    # its budget is whatever the cached train split left over.
+    # its budget is whatever the cached train split left over. It stays
+    # default-placed (no mesh) on purpose: val epochs keep their ragged
+    # last batch (no drop_last), which cannot shard over the batch axis —
+    # eval_step's mesh shardings redistribute each batch instead.
     val_batcher = (make_device_batcher(
                        val_ds, hp, reserved_bytes=dev_batcher.total_bytes)
                    if dev_batcher is not None else None)

@@ -86,6 +86,13 @@ def test_auto_policy_budget_and_invalid_mode(ds, monkeypatch):
     with pytest.raises(ValueError, match="device_data_cache"):
         make_device_batcher(ds, tiny_hparams(device_data_cache="offf"))
 
+    # YAML 1.1 parses bare on/off as booleans; they must keep their meaning
+    assert make_device_batcher(ds, tiny_hparams(device_data_cache=False)) \
+        is None
+    assert isinstance(
+        make_device_batcher(ds, tiny_hparams(device_data_cache=True)),
+        DeviceWindowBatcher)
+
     # pretend we're on an accelerator so the auto size gate is reachable
     import lets_face_it_tpu.data.device_cache as dc
 
