@@ -209,6 +209,19 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
     if mesh is not None:
         state = pmesh.replicate(mesh, state)
 
+    # Stall watchdog (opt-in, hp.stall_timeout_s / --stall_timeout_s): the
+    # remote transport can hang a blocking dispatch forever (docs/PERF.md);
+    # without this a multi-hour run stalls silently instead of exiting for
+    # a supervisor to --resume_from. Arms on the first beat, so the slow
+    # first remote compile never trips it; beats ride the step loop — a
+    # hung device backs up dispatch and stops them within a few steps.
+    stall_s = getattr(hp, "stall_timeout_s", None)
+    watchdog = None
+    if stall_s:
+        from lets_face_it_tpu.utils.watchdog import ProgressWatchdog
+
+        watchdog = ProgressWatchdog(float(stall_s))
+
     best_val = float("inf")
     max_epochs = int(hp.max_epochs or 1)
     global_step = int(jax.device_get(state.step))
@@ -292,6 +305,8 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
 
             state, step_metrics = train_step(state, jb)
             global_step += 1
+            if watchdog is not None:
+                watchdog.beat()
 
             if verbose and global_step % 10 == 0:
                 m = {k: float(v) for k, v in jax.device_get(step_metrics).items()}
@@ -321,8 +336,12 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
                 ckpt.save(global_step, jax.device_get(state),
                           actnorm_inited=actnorm_inited, epoch=epoch,
                           extra={"val_loss": val_loss})
+            if watchdog is not None:
+                watchdog.beat()     # validation + checkpointing took a while
         if done:
             break
 
+    if watchdog is not None:
+        watchdog.stop()
     logger.close()
     return state, best_val

@@ -45,6 +45,13 @@ def main():
                         help="write a synthetic fixture into dataset_root first")
     parser.add_argument("--resume_from", default=None,
                         help="checkpoint dir to resume training from")
+    parser.add_argument("--stall_timeout_s", type=float, default=None,
+                        help="exit with code 17 when no training progress "
+                             "for this many seconds (the remote-TPU tunnel "
+                             "can hang a dispatch forever) so a supervisor "
+                             "can relaunch with --resume_from; arms after "
+                             "the first step, so the initial compile never "
+                             "trips it. Size it above a validation pass.")
     parser.add_argument("--render_url", default=None,
                         help="render-service URL for validation videos "
                              "(e.g. http://localhost:8000)")
@@ -80,6 +87,8 @@ def main():
         overrides["precision"] = args.precision
     if args.wire_dtype is not None:
         overrides["wire_dtype"] = args.wire_dtype
+    if args.stall_timeout_s is not None:
+        overrides["stall_timeout_s"] = args.stall_timeout_s
     hp = load_hparams(args.hparams_file, dataset_root=args.dataset_root,
                       overrides=overrides)
 
