@@ -61,6 +61,44 @@ def test_exit_code_is_distinct():
     assert STALL_EXIT_CODE == 17
 
 
+def test_supervisor_resumes_on_stall_only(tmp_path):
+    """tools/supervise_train.py relaunches (with --resume_from) exactly on
+    the stall exit code, stops on clean exit, and does not retry crashes."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "tools"))
+    from supervise_train import supervise
+
+    marker = tmp_path / "attempts"
+    # fake trainer: exits 17 (stall) twice, then asserts it was resumed and
+    # exits clean; a final variant always crashes with 3
+    fake = tmp_path / "fake_train.py"
+    fake.write_text(f"""
+import sys
+from pathlib import Path
+m = Path({str(marker)!r})
+n = int(m.read_text() or 0) if m.exists() else 0
+m.write_text(str(n + 1))
+if n < 2:
+    sys.exit({STALL_EXIT_CODE})
+assert "--resume_from" in sys.argv, "relaunch must resume"
+sys.exit(0)
+""")
+    rc = supervise([sys.executable, str(fake)], str(tmp_path / "ck"),
+                   backoff_s=0.0)
+    assert rc == 0
+    assert int(marker.read_text()) == 3   # 2 stalls + 1 clean finish
+
+    crasher = tmp_path / "crash_train.py"
+    crasher.write_text("import sys; sys.exit(3)")
+    rc = supervise([sys.executable, str(crasher)], str(tmp_path / "ck"),
+                   backoff_s=0.0)
+    assert rc == 3                        # crashes are not retried
+
+
 def test_train_loop_wires_heartbeats(tmp_path):
     """train() with hp.stall_timeout_s runs to completion with the watchdog
     armed and stopped cleanly (a generous timeout never fires on CPU)."""
