@@ -40,14 +40,16 @@ def test_unarmed_until_first_beat():
 
 def test_beats_keep_it_alive_and_stop_disarms():
     calls = []
-    wd = ProgressWatchdog(0.3, on_stall=lambda *a: calls.append(a),
+    # generous timeout-vs-beat margin: a loaded 1-vCPU box can delay a
+    # 0.1 s sleep by hundreds of ms, which must not read as a stall
+    wd = ProgressWatchdog(1.5, on_stall=lambda *a: calls.append(a),
                           poll_s=0.05)
     for _ in range(6):
         wd.beat()
         time.sleep(0.1)                 # always inside the timeout
     assert not wd.fired
     wd.stop()
-    time.sleep(0.6)                     # stopped: a stall no longer fires
+    time.sleep(2.0)                     # stopped: a stall no longer fires
     assert not wd.fired and not calls
 
 
