@@ -399,8 +399,50 @@ def nll_parity_check(hp, spec, params):
         return None
 
 
+def wait_for_accelerator(max_wait_s: float = 1800.0) -> bool:
+    """Wait out a remote-transport blip before touching the backend
+    in-process.
+
+    During a tunnel outage the first device use either hangs forever or
+    raises `Unable to initialize backend 'axon': UNAVAILABLE` (both
+    observed r4, outages of 1-3+ h) — and once the in-process client is
+    poisoned, no retry recovers it. So probe from a SUBPROCESS with a
+    timeout (immune to both failure modes) and only init in-process after
+    a probe succeeds. Returns False when the deadline passes."""
+    import subprocess
+
+    # the probe honors JAX_PLATFORMS=cpu at config level (env-only forcing
+    # itself hangs during an outage — CLAUDE.md "Forcing CPU")
+    probe = ("import os, jax\n"
+             "if os.environ.get('JAX_PLATFORMS', '').lower() == 'cpu':\n"
+             "    jax.config.update('jax_platforms', 'cpu')\n"
+             "import jax.numpy as jnp\n"
+             "float(jnp.ones(2).sum())\n")
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", probe], timeout=90,
+                               capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            return False
+        print(f"accelerator unreachable (probe {attempt}); retrying in 30 s "
+              f"({int(deadline - time.time())} s left)", file=sys.stderr,
+              flush=True)
+        time.sleep(30)
+
+
 def main():
     scaling = "--scaling" in sys.argv
+    if not wait_for_accelerator():
+        sys.exit("accelerator unreachable for 30 min — aborting the bench "
+                 "rather than hanging in backend init (docs/PERF.md, tunnel "
+                 "outage mode)")
     hp, spec, params = build_full_model()
     dev = jax.devices()[0]
     print(f"benchmarking on {dev.device_kind} ({dev.platform})", file=sys.stderr)
