@@ -76,11 +76,19 @@ def bench_sampling(hp, spec, params, batch_size: int, gen_frames: int = 100,
         # fixed small iter count leaves fast configs (bf16 b128 runs ~5-7
         # ms/call) with a difference the same magnitude as the remote
         # transport's RTT jitter — measured as a 1.6x-wide band at 5 iters.
-        # The probe is itself jitter-exposed, so take the median of 3.
+        # The probe is itself a tiny 6-vs-3-call difference, so it is MORE
+        # jitter-exposed than the measurement it sizes. Stalls only ADD
+        # time: a stall in the long leg inflates a round, in the short leg
+        # drives it negative — so drop non-positive rounds and take the min
+        # of the survivors (least-inflated ≈ true cost; a deflated round
+        # only errs toward more iters, i.e. a narrower band). The iters
+        # floor is 20, not 5, so even a fully poisoned probe can never
+        # re-widen the band to the documented 1.6x-at-5-iters failure.
         pk = list(jax.random.split(jax.random.PRNGKey(2), 6))
-        probes = sorted(max((timed(pk) - timed(pk[:3])) / 3, 1e-4)
-                        for _ in range(3))
-        iters = int(min(max(5, round(0.75 / probes[1])), 300))
+        rounds = [(timed(pk) - timed(pk[:3])) / 3 for _ in range(5)]
+        ok = sorted(d for d in rounds if d > 0)
+        per_iter = ok[0] if ok else 0.75 / 300
+        iters = int(min(max(20, round(0.75 / per_iter)), 300))
 
     # pre-split keys: an eager fold_in per iteration would be a separate
     # host->device dispatch inside the timing loop
@@ -420,20 +428,36 @@ def wait_for_accelerator(max_wait_s: float = 1800.0) -> bool:
              "float(jnp.ones(2).sum())\n")
     deadline = time.time() + max_wait_s
     attempt = 0
+    fast_failures = 0
     while True:
         attempt += 1
+        why = "probe timed out (tunnel hang)"
         try:
+            t0 = time.time()
             r = subprocess.run([sys.executable, "-c", probe], timeout=90,
                                capture_output=True)
             if r.returncode == 0:
                 return True
+            tail = r.stderr.decode(errors="replace").strip().splitlines()
+            why = "probe exited %d: %s" % (
+                r.returncode, tail[-1] if tail else "<no stderr>")
+            # An instant nonzero exit is a deterministic failure (broken
+            # install, bad JAX_PLATFORMS value), not outage weather —
+            # retrying it for 30 min with the diagnostic swallowed is the
+            # worst of both. Three in a row: give up loudly.
+            fast_failures = fast_failures + 1 if time.time() - t0 < 20 else 0
+            if fast_failures >= 3:
+                print("probe fails instantly and deterministically; last "
+                      "stderr:\n" + r.stderr.decode(errors="replace"),
+                      file=sys.stderr, flush=True)
+                return False
         except subprocess.TimeoutExpired:
-            pass
+            fast_failures = 0
         if time.time() > deadline:
             return False
-        print(f"accelerator unreachable (probe {attempt}); retrying in 30 s "
-              f"({int(deadline - time.time())} s left)", file=sys.stderr,
-              flush=True)
+        print(f"accelerator unreachable (probe {attempt}: {why}); retrying "
+              f"in 30 s ({int(deadline - time.time())} s left)",
+              file=sys.stderr, flush=True)
         time.sleep(30)
 
 

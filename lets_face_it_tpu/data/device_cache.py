@@ -75,6 +75,21 @@ class DeviceWindowBatcher:
 
         self._gather = jax.jit(gather)
 
+    def get_starts_block(self, index_batches) -> jnp.ndarray:
+        """Device ``[k, B]`` int32 window starts for k index batches — the
+        per-dispatch upload of the k-steps-per-dispatch training path
+        (train/state.py:make_multi_train_step), ~k KB on the wire. Under a
+        mesh the block is sharded over the batch axis (replicated operand,
+        sharded indices — same layout as ``get_batch``'s starts)."""
+        blk = np.stack([self.window_starts[np.asarray(ix)]
+                        for ix in index_batches]).astype(np.int32)
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self._mesh, P(None, self._mesh.axis_names[0]))
+            return jax.device_put(blk, sh)
+        return jnp.asarray(blk)
+
     def get_batch(self, indices) -> dict:
         """Gather the windows at ``window_starts[indices]`` on-device.
 

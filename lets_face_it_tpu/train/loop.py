@@ -243,6 +243,26 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
     # host copy of EVERY upload — tools/leak_probe.py — which OOM-killed a
     # 60k-step run at 130 GB RSS). See data/device_cache.py.
     dev_batcher = make_device_batcher(train_ds, hp, mesh=mesh)
+    # k-steps-per-dispatch (hp.steps_per_dispatch / --steps_per_dispatch):
+    # scan k optimizer steps inside ONE compiled dispatch, gathering each
+    # batch on-device from the HBM-resident split. End-to-end throughput is
+    # then pinned to device speed regardless of transport health — the
+    # per-step dispatch RTT (and its jitter, docs/PERF.md) amortises k-fold.
+    # Requires the device cache; trajectories are step-for-step identical to
+    # k=1 (tests/test_device_cache.py::test_multi_step_matches_single).
+    k_dispatch = int(getattr(hp, "steps_per_dispatch", 1) or 1)
+    multi_step = None
+    if k_dispatch > 1:
+        if dev_batcher is None:
+            logger_warn = ("steps_per_dispatch=%d needs the device data "
+                           "cache (device_data_cache=on/auto on an "
+                           "accelerator); running one step per dispatch"
+                           % k_dispatch)
+            print(logger_warn, flush=True)
+            k_dispatch = 1
+        else:
+            multi_step = train_state.make_multi_train_step(
+                spec, hp, optimizer, int(hp.Train["seq_len"]), mesh=mesh)
     # The val split rides the same size/platform policy gate; in auto mode
     # its budget is whatever the cached train split left over. It stays
     # default-placed (no mesh) on purpose: val epochs keep their ragged
@@ -272,76 +292,132 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
                   for k, v in jb.items()}
         return jb
 
-    for epoch in range(start_epoch, max_epochs):
-        # The shuffle order is a pure function of (seed, epoch) so a resumed
-        # run consumes exactly the data order the uninterrupted run would
-        # have at this epoch (the reference gets the same property from
-        # Lightning re-seeding its DataLoader sampler per epoch). Seeding
-        # from a running np_rng instead would replay epochs 0..E's shuffles
-        # after a resume at epoch E. Both data paths consume the same
-        # epoch_index_batches order, so toggling the device cache never
-        # changes the trajectory.
-        np_rng = np.random.default_rng([seed, epoch])
-        if dev_batcher is not None:
-            # The gather dispatch (index upload + on-device window gather)
-            # runs in the prefetch worker so its host-side dispatch latency
-            # (a few ms/step on the remote-TPU transport) overlaps the step
-            # dispatch instead of serializing with it.
-            batch_iter = prefetch_batches(
-                train_ds.epoch_index_batches(hp.batch_size, rng=np_rng,
-                                             shuffle=True, drop_last=True),
-                transfer=dev_batcher.get_batch)
-        else:
-            batch_iter = prefetch_batches(
-                train_ds.epoch_batches(hp.batch_size, rng=np_rng,
-                                       shuffle=True, drop_last=True),
-                transfer=to_device)
-        for jb in batch_iter:
-            if not actnorm_inited:
-                state = train_state.run_actnorm_init(spec, state, jb)
-                if mesh is not None:
-                    state = pmesh.replicate(mesh, state)
-                actnorm_inited = True
+    try:
+        for epoch in range(start_epoch, max_epochs):
+            # The shuffle order is a pure function of (seed, epoch) so a resumed
+            # run consumes exactly the data order the uninterrupted run would
+            # have at this epoch (the reference gets the same property from
+            # Lightning re-seeding its DataLoader sampler per epoch). Seeding
+            # from a running np_rng instead would replay epochs 0..E's shuffles
+            # after a resume at epoch E. Both data paths consume the same
+            # epoch_index_batches order, so toggling the device cache never
+            # changes the trajectory.
+            np_rng = np.random.default_rng([seed, epoch])
+            if multi_step is not None:
+                # Plan the epoch up front: full k-blocks run as one dispatch
+                # each, the remainder (and any max_steps tail that cannot
+                # fill a block) falls back to the single-step jit — so the
+                # consumed data order is IDENTICAL to k=1.
+                sels = list(train_ds.epoch_index_batches(
+                    hp.batch_size, rng=np_rng, shuffle=True, drop_last=True))
+                if max_steps is not None:
+                    sels = sels[:max(max_steps - global_step, 0)]
+                if not actnorm_inited and sels:
+                    # data-dependent init needs an eager batch; the first
+                    # block's first batch is re-gathered here (once per run)
+                    # and then still consumed by the first dispatch, exactly
+                    # as the single-step path inits-then-steps on batch 0
+                    state = train_state.run_actnorm_init(
+                        spec, state, dev_batcher.get_batch(sels[0]))
+                    if mesh is not None:
+                        state = pmesh.replicate(mesh, state)
+                    actnorm_inited = True
+                n_blocks = len(sels) // k_dispatch
+                plan = ([("multi", sels[i * k_dispatch:(i + 1) * k_dispatch])
+                         for i in range(n_blocks)]
+                        + [("single", s)
+                           for s in sels[n_blocks * k_dispatch:]])
 
-            state, step_metrics = train_step(state, jb)
-            global_step += 1
-            if watchdog is not None:
-                watchdog.beat()
+                def _xfer(item):
+                    kind, payload = item
+                    if kind == "multi":
+                        return kind, dev_batcher.get_starts_block(payload)
+                    return kind, dev_batcher.get_batch(payload)
 
-            if verbose and global_step % 10 == 0:
-                m = {k: float(v) for k, v in jax.device_get(step_metrics).items()}
-                m["train_loss"] = m.pop("loss")
-                m["steps_per_sec"] = ((global_step - start_step)
-                                      / (time.time() - t_start))
-                logger.scalars(global_step, m)
-                if step_hook is not None:
-                    step_hook(global_step, m)
+                batch_iter = prefetch_batches(iter(plan), transfer=_xfer)
+            elif dev_batcher is not None:
+                # The gather dispatch (index upload + on-device window gather)
+                # runs in the prefetch worker so its host-side dispatch latency
+                # (a few ms/step on the remote-TPU transport) overlaps the step
+                # dispatch instead of serializing with it.
+                batch_iter = prefetch_batches(
+                    train_ds.epoch_index_batches(hp.batch_size, rng=np_rng,
+                                                 shuffle=True, drop_last=True),
+                    transfer=dev_batcher.get_batch)
+            else:
+                batch_iter = prefetch_batches(
+                    train_ds.epoch_batches(hp.batch_size, rng=np_rng,
+                                           shuffle=True, drop_last=True),
+                    transfer=to_device)
+            for item in batch_iter:
+                if multi_step is not None and item[0] == "multi":
+                    state, ms = multi_step(state, dev_batcher.arrays, item[1])
+                    global_step += k_dispatch
+                    if watchdog is not None:
+                        watchdog.beat()
+                    if verbose:
+                        m = {k: float(v[-1])
+                             for k, v in jax.device_get(ms).items()}
+                        m["train_loss"] = m.pop("loss")
+                        m["steps_per_sec"] = ((global_step - start_step)
+                                              / (time.time() - t_start))
+                        logger.scalars(global_step, m)
+                        if step_hook is not None:
+                            step_hook(global_step, m)
+                    if max_steps is not None and global_step >= max_steps:
+                        done = True
+                        break
+                    continue
+                jb = item[1] if multi_step is not None else item
+                if not actnorm_inited:
+                    state = train_state.run_actnorm_init(spec, state, jb)
+                    if mesh is not None:
+                        state = pmesh.replicate(mesh, state)
+                    actnorm_inited = True
 
-            if max_steps is not None and global_step >= max_steps:
-                done = True
+                state, step_metrics = train_step(state, jb)
+                global_step += 1
+                if watchdog is not None:
+                    watchdog.beat()
+
+                if verbose and global_step % 10 == 0:
+                    m = {k: float(v) for k, v in jax.device_get(step_metrics).items()}
+                    m["train_loss"] = m.pop("loss")
+                    m["steps_per_sec"] = ((global_step - start_step)
+                                          / (time.time() - t_start))
+                    logger.scalars(global_step, m)
+                    if step_hook is not None:
+                        step_hook(global_step, m)
+
+                if max_steps is not None and global_step >= max_steps:
+                    done = True
+                    break
+
+            if (epoch + 1) % int(hp.check_val_every_n_epoch or 1) == 0 or done:
+                # Resume-invariant: fold the step into the base key instead of
+                # advancing a split chain that a resumed run would restart.
+                sub = jax.random.fold_in(rng, global_step)
+                val_loss = run_validation(spec, hp, state.params, val_ds, eval_step,
+                                          logger, global_step, sub,
+                                          render_client=render_client,
+                                          dev_batcher=val_batcher)
+                best_val = min(best_val, val_loss)
+                if val_hook is not None:
+                    val_hook(global_step, val_loss, hp, spec, state.params, val_ds)
+                if ckpt is not None:
+                    ckpt.save(global_step, jax.device_get(state),
+                              actnorm_inited=actnorm_inited, epoch=epoch,
+                              extra={"val_loss": val_loss})
+                if watchdog is not None:
+                    watchdog.beat()     # validation + checkpointing took a while
+            if done:
                 break
-
-        if (epoch + 1) % int(hp.check_val_every_n_epoch or 1) == 0 or done:
-            # Resume-invariant: fold the step into the base key instead of
-            # advancing a split chain that a resumed run would restart.
-            sub = jax.random.fold_in(rng, global_step)
-            val_loss = run_validation(spec, hp, state.params, val_ds, eval_step,
-                                      logger, global_step, sub,
-                                      render_client=render_client,
-                                      dev_batcher=val_batcher)
-            best_val = min(best_val, val_loss)
-            if val_hook is not None:
-                val_hook(global_step, val_loss, hp, spec, state.params, val_ds)
-            if ckpt is not None:
-                ckpt.save(global_step, jax.device_get(state),
-                          actnorm_inited=actnorm_inited, epoch=epoch,
-                          extra={"val_loss": val_loss})
-            if watchdog is not None:
-                watchdog.beat()     # validation + checkpointing took a while
-        if done:
-            break
-
-    if watchdog is not None:
-        watchdog.stop()
-    logger.close()
+    finally:
+        # Exceptions out of the loop (pruning hooks raising, a failed
+        # validation/save) must not leak an armed watchdog: its default
+        # on_stall os._exit(17)s the whole process minutes later, mid
+        # whatever the caller moved on to (e.g. the next trial's compile).
+        if watchdog is not None:
+            watchdog.stop()
+        logger.close()
     return state, best_val

@@ -67,15 +67,15 @@ def _masked_grads(grads: SeqGlowParams) -> SeqGlowParams:
     return grads._replace(flow=new_flow)
 
 
-def make_train_step(spec: FlowSpec, hp, optimizer, mesh=None,
+def _make_step_body(spec: FlowSpec, hp, optimizer, mesh=None,
                     use_fused=None):
-    """``mesh``: data-parallel mesh, forwarded to sequence_nll so the fused
-    Pallas traversal runs per-shard under shard_map (GSPMD cannot partition
-    a pallas_call). ``use_fused`` forces the kernel choice (None = auto)."""
+    """The un-jitted ``(state, batch) -> (state, metrics)`` step function —
+    shared verbatim by the single-step jit (``make_train_step``) and the
+    k-steps-per-dispatch scan (``make_multi_train_step``) so the two paths
+    cannot drift semantically."""
     use_negative = bool(hp.Train.get("use_negative_nll_loss", False))
     neg_modalities, _ = derange.mismatched_modalities(hp.Conditioning)
 
-    @partial(jax.jit, donate_argnums=0)
     def train_step(state: TrainState, batch):
         rng, k_choice, k_derange, k_dropout = jax.random.split(state.rng, 4)
 
@@ -112,6 +112,47 @@ def make_train_step(spec: FlowSpec, hp, optimizer, mesh=None,
         return TrainState(params, opt_state, state.step + 1, new_last, rng), metrics
 
     return train_step
+
+
+def make_train_step(spec: FlowSpec, hp, optimizer, mesh=None,
+                    use_fused=None):
+    """``mesh``: data-parallel mesh, forwarded to sequence_nll so the fused
+    Pallas traversal runs per-shard under shard_map (GSPMD cannot partition
+    a pallas_call). ``use_fused`` forces the kernel choice (None = auto)."""
+    body = _make_step_body(spec, hp, optimizer, mesh=mesh, use_fused=use_fused)
+    return partial(jax.jit, donate_argnums=0)(body)
+
+
+def make_multi_train_step(spec: FlowSpec, hp, optimizer, seq_len: int,
+                          mesh=None, use_fused=None):
+    """k training steps per dispatch: ``lax.scan`` over a ``[k, B]`` block of
+    window starts, gathering each batch on-device from the HBM-resident
+    modality arrays (data/device_cache.py) inside the compiled region.
+
+    One dispatch then carries k full optimizer steps, so end-to-end
+    throughput is pinned to device speed even when the host->device
+    transport degrades (the remote-TPU tunnel's dispatch RTT is the one
+    measured end-to-end tax left — docs/PERF.md). The step math is the
+    single-step body verbatim; only the batch materialisation moves inside
+    the scan. The reference has no analogue (one Python-side step per
+    optimizer update, lets_face_it_glow.py:39-54).
+
+    Returns ``multi_step(state, arrays, starts_block)`` with metrics stacked
+    ``[k]`` per key; ``k`` is ``starts_block.shape[0]`` (static per compile).
+    """
+    body = _make_step_body(spec, hp, optimizer, mesh=mesh, use_fused=use_fused)
+    window = jnp.arange(seq_len)
+
+    @partial(jax.jit, donate_argnums=0)
+    def multi_step(state: TrainState, arrays, starts_block):
+        def scan_body(st, starts):
+            idx = starts[:, None] + window[None, :]
+            batch = {k: a[idx] for k, a in arrays.items()}
+            return body(st, batch)
+
+        return jax.lax.scan(scan_body, state, starts_block)
+
+    return multi_step
 
 
 def make_eval_step(spec: FlowSpec, mesh=None):

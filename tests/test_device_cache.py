@@ -106,7 +106,36 @@ def test_auto_policy_budget_and_invalid_mode(ds, monkeypatch):
                                reserved_bytes=AUTO_MAX_BYTES) is None
 
 
-def _run(tmp_path, cache_mode, seed=5):
+def test_starts_block_gather_matches_get_batch(ds):
+    """The [k, B] starts block + in-jit gather (the k-steps-per-dispatch
+    data path) reproduces get_batch's windows bit-exactly, single-device
+    and mesh-sharded."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    blocks = [rng.permutation(len(ds))[:8] for _ in range(3)]
+    for mesh in (None, pmesh.make_mesh()):
+        batcher = DeviceWindowBatcher(ds, mesh=mesh)
+        starts_block = batcher.get_starts_block(blocks)
+        assert starts_block.shape == (3, 8)
+        window = jnp.arange(ds.seq_len)
+
+        @jax.jit
+        def gather_i(arrays, starts):
+            idx = starts[:, None] + window[None, :]
+            return {k: a[idx] for k, a in arrays.items()}
+
+        for i, blk in enumerate(blocks):
+            host = ds.get_batch(blk)
+            dev = gather_i(batcher.arrays, starts_block[i])
+            for k in host:
+                np.testing.assert_array_equal(np.asarray(dev[k]), host[k])
+        if mesh is not None:
+            # block sharded over the batch axis, operands replicated
+            assert not starts_block.sharding.is_fully_replicated
+
+
+def _run(tmp_path, cache_mode, seed=5, max_steps=None, **hp_overrides):
     write_synthetic_dataset(tmp_path / "synthetic.h5", dims=tiny_dims(),
                             n_train_chunks=2, n_val_chunks=1, n_test_chunks=1,
                             frames_per_chunk=40, seed=0)
@@ -116,10 +145,12 @@ def _run(tmp_path, cache_mode, seed=5):
         Validation={"check_invertion": False, "inference": False,
                     "render": False, "scale_logging": False, "seq_len": 16,
                     "wrong_context_test": False},
+        **hp_overrides,
     )
     vals = []
     train(hp, seed=seed, log_dir=None, ckpt_dir=None, use_mesh=False,
-          verbose=False, val_hook=lambda step, v, *a: vals.append((step, v)))
+          verbose=False, max_steps=max_steps,
+          val_hook=lambda step, v, *a: vals.append((step, v)))
     return vals
 
 
@@ -132,3 +163,25 @@ def test_train_trajectory_invariant_to_device_cache(tmp_path):
     assert [s for s, _ in vals_host] == [s for s, _ in vals_dev]
     np.testing.assert_array_equal([v for _, v in vals_host],
                                   [v for _, v in vals_dev])
+
+
+def test_multi_step_matches_single(tmp_path):
+    """steps_per_dispatch=k (scan of k optimizer steps per dispatch, batches
+    gathered in-jit) consumes the same data order and reproduces the k=1
+    trajectory. 12 batches/epoch at k=5 exercises 2 full blocks + 2
+    single-step tail batches per epoch, and the max_steps slice stops the
+    run at exactly the same step count."""
+    vals_single = _run(tmp_path / "a", "on", max_steps=20)
+    vals_multi = _run(tmp_path / "b", "on", max_steps=20,
+                      steps_per_dispatch=5)
+    assert [s for s, _ in vals_single] == [s for s, _ in vals_multi]
+    np.testing.assert_allclose([v for _, v in vals_multi],
+                               [v for _, v in vals_single],
+                               rtol=0, atol=5e-5)
+
+
+def test_steps_per_dispatch_without_cache_falls_back(tmp_path):
+    """steps_per_dispatch without the device cache (device_data_cache=off /
+    CPU auto) degrades to one step per dispatch instead of crashing."""
+    vals = _run(tmp_path / "c", "off", max_steps=8, steps_per_dispatch=4)
+    assert vals and all(np.isfinite(v) for _, v in vals)

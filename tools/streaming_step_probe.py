@@ -35,18 +35,41 @@ from lets_face_it_tpu.utils.compile_cache import (  # noqa: E402
 enable_persistent_compile_cache()
 
 
-def device_step_durations(trace_dir: str) -> dict[str, float]:
-    """Sum per-module device durations from a profiler trace (.trace.json.gz)."""
+def _is_device_lane(proc_name: str) -> bool:
+    """Device timelines in JAX chrome traces are processes named like
+    '/device:TPU:0' (or TFRT's 'TPU:0'); host dispatch lanes are the python
+    process / thread pools. Only the device lane is authoritative."""
+    return "/device:" in proc_name or proc_name.split(" ")[0].rstrip(
+        ":0123456789") in ("TPU", "GPU", "CPU")
+
+
+def device_step_durations(
+        trace_dir: str) -> dict[tuple[str, str], tuple[int, float, float]]:
+    """Per-lane ``jit_*`` durations from a profiler trace (.trace.json.gz).
+
+    Returns ``{(process_lane, event_name): (n, total_ms, median_ms)}``.
+    jit_<fn> complete-events appear on HOST lanes (dispatch cost) as well as
+    the device timeline; mixing them shifts the median into the gap between
+    the two populations, so events are grouped by the process lane they were
+    recorded on (pid -> 'process_name' metadata) and the caller picks the
+    device lane."""
     paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
-    totals: dict[str, list[float]] = {}
+    proc_names: dict[int, str] = {}
+    events: list[dict] = []
     for p in paths:
         with gzip.open(p, "rt") as f:
             trace = json.load(f)
         for ev in trace.get("traceEvents", []):
-            name = ev.get("name", "")
-            if ev.get("ph") == "X" and name.startswith("jit_"):
-                totals.setdefault(name, []).append(ev.get("dur", 0) / 1e3)
+            if ev.get("ph") == "M" and ev.get("name") == "process_name":
+                proc_names[ev.get("pid")] = ev.get("args", {}).get("name", "")
+            elif ev.get("ph") == "X" and ev.get("name", "").startswith("jit_"):
+                events.append(ev)
+    totals: dict[tuple[str, str], list[float]] = {}
+    for ev in events:
+        lane = proc_names.get(ev.get("pid"), f"pid:{ev.get('pid')}")
+        totals.setdefault((lane, ev["name"]), []).append(
+            ev.get("dur", 0) / 1e3)
     return {k: (len(v), float(np.sum(v)), float(np.median(v)))
             for k, v in totals.items()}
 
@@ -89,8 +112,18 @@ def main() -> None:
     stats = device_step_durations(args.trace_dir)
     print(f"wall for {args.frames} chained pushes: {wall * 1e3:.1f} ms "
           f"({wall / args.frames * 1e3:.3f} ms/push incl. dispatch)")
-    for name, (n, total, med) in sorted(stats.items()):
-        print(f"{name}: n={n} total={total:.1f} ms median={med:.3f} ms")
+    for (lane, name), (n, total, med) in sorted(stats.items()):
+        tag = "DEVICE" if _is_device_lane(lane) else "host"
+        flag = ""
+        if n < args.frames and _is_device_lane(lane):
+            flag = f"  [WARN: n < --frames={args.frames}; trace truncated?]"
+        print(f"[{tag}] {lane} :: {name}: n={n} total={total:.1f} ms "
+              f"median={med:.3f} ms{flag}")
+    dev = [(k, v) for k, v in stats.items() if _is_device_lane(k[0])]
+    if not dev:
+        print("no device-lane jit_* events found — the trace has only host "
+              "dispatch lanes; device time unknown (do NOT read the host "
+              "median as silicon cost)")
 
 
 if __name__ == "__main__":

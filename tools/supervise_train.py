@@ -23,8 +23,10 @@ Usage:
         --ckpt_dir checkpoints/run --stall_timeout_s 900
 
 The command after ``--`` is launched verbatim; on relaunch,
-``--resume_from <ckpt_dir>`` is appended (once) so the first launch can be
-a fresh start. Supervision state is printed as JSON lines for log scraping.
+``--resume_from <ckpt_dir>`` is appended (once) — but only when the
+directory already holds a committed checkpoint, so a stall before the
+first save relaunches fresh instead of crashing on restore. Supervision
+state is printed as JSON lines for log scraping.
 """
 
 from __future__ import annotations
@@ -46,6 +48,22 @@ def log(event: str, **kw) -> None:
     print(json.dumps({"supervisor": event, **kw}), flush=True)
 
 
+def has_checkpoint(ckpt_dir: str) -> bool:
+    """True iff the orbax directory holds at least one committed step.
+
+    Committed steps are bare-numeric subdirectories (``<dir>/<step>/``);
+    orbax's in-flight tmp dirs carry a non-numeric suffix and are excluded.
+    Checked on every relaunch so a stall BEFORE the first checkpoint (the
+    canonical case: tunnel drops during epoch 0, checkpoints land only at
+    validation epochs) relaunches fresh instead of crashing train.py with
+    FileNotFoundError — which would read as a real crash and end supervision.
+    """
+    d = Path(ckpt_dir)
+    if not d.is_dir():
+        return False
+    return any(p.is_dir() and p.name.isdigit() for p in d.iterdir())
+
+
 def supervise(cmd: list[str], ckpt_dir: str, *, max_stalls: int = 100,
               retry_crashes: int = 0, backoff_s: float = 30.0) -> int:
     """Run ``cmd`` under supervision; returns the final exit code."""
@@ -56,7 +74,10 @@ def supervise(cmd: list[str], ckpt_dir: str, *, max_stalls: int = 100,
         attempt += 1
         full = list(cmd)
         if attempt > 1 and "--resume_from" not in full:
-            full += ["--resume_from", ckpt_dir]
+            if has_checkpoint(ckpt_dir):
+                full += ["--resume_from", ckpt_dir]
+            else:
+                log("no_checkpoint_yet", ckpt_dir=ckpt_dir)
         log("launch", attempt=attempt, cmd=full)
         rc = subprocess.call(full)
         if rc == 0:

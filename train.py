@@ -41,6 +41,12 @@ def main():
                              "the per-step upload (values upcast to f32 on "
                              "device, rounded to the bf16 grid) — pair with "
                              "--precision 16 on remote-TPU transports")
+    parser.add_argument("--steps_per_dispatch", type=int, default=None,
+                        help="fuse k optimizer steps into one compiled "
+                             "dispatch (lax.scan over on-device batch "
+                             "gathers); pins end-to-end throughput to "
+                             "device speed on jittery transports. Needs "
+                             "the device data cache")
     parser.add_argument("--synthetic-data", action="store_true",
                         help="write a synthetic fixture into dataset_root first")
     parser.add_argument("--resume_from", default=None,
@@ -89,6 +95,8 @@ def main():
         overrides["wire_dtype"] = args.wire_dtype
     if args.stall_timeout_s is not None:
         overrides["stall_timeout_s"] = args.stall_timeout_s
+    if args.steps_per_dispatch is not None:
+        overrides["steps_per_dispatch"] = args.steps_per_dispatch
     hp = load_hparams(args.hparams_file, dataset_root=args.dataset_root,
                       overrides=overrides)
 
