@@ -155,13 +155,20 @@ def bench_training(hp, spec, params, batch_size: int = 256, iters: int = 5,
 
 
 def bench_training_e2e(hp, spec, params, batch_size: int = 256,
-                       steps: int = 50, warm: int = 10):
+                       steps: int = 50, warm: int = 10,
+                       k_dispatch: int = 1):
     """End-to-end training throughput: on-disk dataset -> native window
     gather -> prefetch worker (host->device upload inside it) -> jitted,
     chained step. This is the wall-clock number a user's training run sees;
     ``bench_training`` is the device-resident ceiling. On a remote-TPU
     transport the difference is the ~18 MB/step batch upload at b256 f32
-    (docs/PERF.md "input pipeline on a remote transport")."""
+    (docs/PERF.md "input pipeline on a remote transport").
+
+    ``k_dispatch > 1`` measures the k-steps-per-dispatch mode
+    (--steps_per_dispatch): one compiled dispatch carries k optimizer steps
+    with in-jit batch gathers, so the per-step dispatch RTT amortises
+    k-fold. Requires the device cache; returns None where it cannot engage
+    (CPU) rather than mislabel the k=1 number."""
     import os
     from pathlib import Path
 
@@ -200,6 +207,30 @@ def bench_training_e2e(hp, spec, params, batch_size: int = 256,
             yield from method(batch_size, rng=rng, shuffle=True,
                               drop_last=True)
             epoch += 1
+
+    if k_dispatch > 1:
+        if batcher is None:
+            return None
+        multi = train_state.make_multi_train_step(
+            spec, hp, optimizer, int(hp.Train["seq_len"]))
+
+        def blocks():
+            it = endless(ds.epoch_index_batches)
+            while True:
+                yield [next(it) for _ in range(k_dispatch)]
+
+        n, n0, t0, m = 0, 0, None, None
+        for sb in prefetch_batches(blocks(),
+                                   transfer=batcher.get_starts_block):
+            state, m = multi(state, batcher.arrays, sb)
+            n += k_dispatch
+            if t0 is None and n >= warm:
+                _hard_sync(m)
+                t0, n0 = time.perf_counter(), n
+            elif t0 is not None and n - n0 >= steps:
+                break
+        _hard_sync(m)
+        return (n - n0) / (time.perf_counter() - t0)
 
     # both paths dispatch the batch delivery from the prefetch worker so it
     # overlaps the step dispatch (train/loop.py does the same)
@@ -497,6 +528,12 @@ def main():
         print(f"e2e training bench failed: {type(exc).__name__}: {exc}",
               file=sys.stderr)
         train_sps_e2e = None
+    try:
+        train_sps_e2e_k8 = bench_training_e2e(hp, spec, params, k_dispatch=8)
+    except Exception as exc:
+        print(f"e2e k8 training bench failed: {type(exc).__name__}: {exc}",
+              file=sys.stderr)
+        train_sps_e2e_k8 = None
     batch_table = (bench_batch_scaling(hp, spec, params) if scaling else None)
     # production bf16 rows: the fused kernels follow the ambient matmul
     # precision (single-pass MXU dots here), measured 1.26x over XLA-bf16
@@ -534,6 +571,12 @@ def main():
         "train_steps_per_sec_b256_e2e": (round(train_sps_e2e, 3)
                                          if train_sps_e2e is not None
                                          else None),
+        # --steps_per_dispatch 8: k optimizer steps per compiled dispatch
+        # (in-jit gathers from the HBM-resident split) — the transport-
+        # jitter-immune production mode
+        "train_steps_per_sec_b256_e2e_k8": (round(train_sps_e2e_k8, 3)
+                                            if train_sps_e2e_k8 is not None
+                                            else None),
         "train_steps_per_sec_b256_T80_bf16matmul": round(train_sps_fast, 3),
         "sampling_fps_batch1_bf16matmul": round(fps_b1_fast, 1),
         "sampling_fps_batched_bf16matmul": round(fps_batch_fast, 1),
