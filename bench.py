@@ -469,14 +469,22 @@ def wait_for_accelerator(max_wait_s: float = 1800.0) -> bool:
                                capture_output=True)
             if r.returncode == 0:
                 return True
-            tail = r.stderr.decode(errors="replace").strip().splitlines()
+            err = r.stderr.decode(errors="replace")
+            tail = err.strip().splitlines()
             why = "probe exited %d: %s" % (
                 r.returncode, tail[-1] if tail else "<no stderr>")
-            # An instant nonzero exit is a deterministic failure (broken
-            # install, bad JAX_PLATFORMS value), not outage weather —
-            # retrying it for 30 min with the diagnostic swallowed is the
-            # worst of both. Three in a row: give up loudly.
-            fast_failures = fast_failures + 1 if time.time() - t0 < 20 else 0
+            # An instant nonzero exit is usually a deterministic failure
+            # (broken install, bad JAX_PLATFORMS value), not outage
+            # weather — retrying it for 30 min with the diagnostic
+            # swallowed is the worst of both. Three in a row: give up
+            # loudly. EXCEPT transport-shaped errors: an outage can also
+            # present as an instant backend-init failure (UNAVAILABLE /
+            # connection refused), and those we do want to wait out.
+            weather = any(s in err for s in (
+                "UNAVAILABLE", "DEADLINE_EXCEEDED", "Connection refused",
+                "failed to connect", "Socket closed", "RESOURCE_EXHAUSTED"))
+            fast = time.time() - t0 < 20 and not weather
+            fast_failures = fast_failures + 1 if fast else 0
             if fast_failures >= 3:
                 print("probe fails instantly and deterministically; last "
                       "stderr:\n" + r.stderr.decode(errors="replace"),

@@ -41,6 +41,16 @@ import jax.numpy as jnp
 AUTO_MAX_BYTES = 6 * 1024**3
 
 
+def gather_windows(arrays: dict, starts, seq_len: int) -> dict:
+    """In-jit sliding-window gather: ``{mod: [T, D]}`` + ``[B]`` starts ->
+    ``{mod: [B, seq_len, D]}``. The single definition of the on-device
+    window semantics — the batcher's per-step gather and the
+    k-steps-per-dispatch scan body (train/state.py:make_multi_train_step)
+    both call it, so they cannot drift."""
+    idx = starts[:, None] + jnp.arange(seq_len)[None, :]
+    return {k: a[idx] for k, a in arrays.items()}
+
+
 class DeviceWindowBatcher:
     """On-device sliding-window gather over a ``WindowDataset``'s arrays.
 
@@ -68,12 +78,8 @@ class DeviceWindowBatcher:
         self.total_bytes = int(sum(v.nbytes for v in ds.arrays.values()))
 
         seq_len = self.seq_len
-
-        def gather(arrays, starts):
-            idx = starts[:, None] + jnp.arange(seq_len)[None, :]
-            return {k: a[idx] for k, a in arrays.items()}
-
-        self._gather = jax.jit(gather)
+        self._gather = jax.jit(
+            lambda arrays, starts: gather_windows(arrays, starts, seq_len))
 
     def get_starts_block(self, index_batches) -> jnp.ndarray:
         """Device ``[k, B]`` int32 window starts for k index batches — the

@@ -294,6 +294,13 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
 
     try:
         for epoch in range(start_epoch, max_epochs):
+            # A resumed run can restore at global_step >= max_steps (stall
+            # after the final checkpoint): nothing is left to train, so
+            # terminate instead of iterating epochs with empty plans — the
+            # k>1 path's max_steps slice would otherwise never set `done`.
+            if max_steps is not None and global_step >= max_steps:
+                done = True
+                break
             # The shuffle order is a pure function of (seed, epoch) so a resumed
             # run consumes exactly the data order the uninterrupted run would
             # have at this epoch (the reference gets the same property from
@@ -349,13 +356,20 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
                     train_ds.epoch_batches(hp.batch_size, rng=np_rng,
                                            shuffle=True, drop_last=True),
                     transfer=to_device)
+            # Throttle the blocking metrics fetch to the k=1 cadence
+            # (~every 10 steps): fetching after EVERY dispatch would pay a
+            # transport round trip per k steps and stall dispatch
+            # pipelining — re-exposing the mode to the jitter it removes.
+            log_every = max(1, -(-10 // k_dispatch))   # ceil(10 / k)
+            n_dispatch = 0
             for item in batch_iter:
                 if multi_step is not None and item[0] == "multi":
                     state, ms = multi_step(state, dev_batcher.arrays, item[1])
                     global_step += k_dispatch
+                    n_dispatch += 1
                     if watchdog is not None:
                         watchdog.beat()
-                    if verbose:
+                    if verbose and n_dispatch % log_every == 0:
                         m = {k: float(v[-1])
                              for k, v in jax.device_get(ms).items()}
                         m["train_loss"] = m.pop("loss")
@@ -404,7 +418,10 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
                 best_val = min(best_val, val_loss)
                 if val_hook is not None:
                     val_hook(global_step, val_loss, hp, spec, state.params, val_ds)
-                if ckpt is not None:
+                # never re-save a step a resumed run already has on disk
+                # (orbax raises on duplicate steps)
+                if ckpt is not None and (ckpt.latest_step() is None
+                                         or global_step > ckpt.latest_step()):
                     ckpt.save(global_step, jax.device_get(state),
                               actnorm_inited=actnorm_inited, epoch=epoch,
                               extra={"val_loss": val_loss})

@@ -140,15 +140,14 @@ def make_multi_train_step(spec: FlowSpec, hp, optimizer, seq_len: int,
     Returns ``multi_step(state, arrays, starts_block)`` with metrics stacked
     ``[k]`` per key; ``k`` is ``starts_block.shape[0]`` (static per compile).
     """
+    from lets_face_it_tpu.data.device_cache import gather_windows
+
     body = _make_step_body(spec, hp, optimizer, mesh=mesh, use_fused=use_fused)
-    window = jnp.arange(seq_len)
 
     @partial(jax.jit, donate_argnums=0)
     def multi_step(state: TrainState, arrays, starts_block):
         def scan_body(st, starts):
-            idx = starts[:, None] + window[None, :]
-            batch = {k: a[idx] for k, a in arrays.items()}
-            return body(st, batch)
+            return body(st, gather_windows(arrays, starts, seq_len))
 
         return jax.lax.scan(scan_body, state, starts_block)
 

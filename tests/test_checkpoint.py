@@ -114,3 +114,24 @@ def test_kill_and_resume_matches_uninterrupted(tmp_path):
     _assert_trees_bitequal(to_saveable(jax.device_get(state_a)),
                            to_saveable(jax.device_get(state_c)))
     assert best_a == min(v for _, v in vals_b)
+
+
+def test_resume_at_max_steps_terminates_cleanly(tmp_path):
+    """A run resumed from a checkpoint taken AT max_steps (stall after the
+    final save) must exit immediately instead of looping over empty epochs
+    or re-saving the existing orbax step (which raises) — the supervisor
+    would read either as a crash. Covers both k=1 and steps_per_dispatch."""
+    for k in (1, 3):
+        sub = tmp_path / f"k{k}"
+        hp = _fixture_hp(sub, max_epochs=4, device_data_cache="on",
+                         steps_per_dispatch=k)
+        ck = str(sub / "ck")
+        train(hp, seed=3, log_dir=None, ckpt_dir=ck, use_mesh=False,
+              verbose=False, max_steps=12)
+        hp2 = _fixture_hp(sub, max_epochs=4, device_data_cache="on",
+                          steps_per_dispatch=k, resume_from_checkpoint=ck)
+        vals = []
+        state, best = train(hp2, seed=3, log_dir=None, ckpt_dir=ck,
+                            use_mesh=False, verbose=False, max_steps=12,
+                            val_hook=lambda s, v, *a: vals.append(s))
+        assert vals == []          # nothing left to train or validate

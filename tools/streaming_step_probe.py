@@ -112,14 +112,18 @@ def main() -> None:
     stats = device_step_durations(args.trace_dir)
     print(f"wall for {args.frames} chained pushes: {wall * 1e3:.1f} ms "
           f"({wall / args.frames * 1e3:.3f} ms/push incl. dispatch)")
+    dev = [(k, v) for k, v in stats.items() if _is_device_lane(k[0])]
+    # the per-frame step is the highest-count device event; one-off compiled
+    # helpers (warmup, sync fetch) legitimately have tiny n — only the step
+    # event's count signals truncation
+    step_event = max(dev, key=lambda kv: kv[1][0])[0] if dev else None
     for (lane, name), (n, total, med) in sorted(stats.items()):
         tag = "DEVICE" if _is_device_lane(lane) else "host"
         flag = ""
-        if n < args.frames and _is_device_lane(lane):
+        if (lane, name) == step_event and n < args.frames:
             flag = f"  [WARN: n < --frames={args.frames}; trace truncated?]"
         print(f"[{tag}] {lane} :: {name}: n={n} total={total:.1f} ms "
               f"median={med:.3f} ms{flag}")
-    dev = [(k, v) for k, v in stats.items() if _is_device_lane(k[0])]
     if not dev:
         print("no device-lane jit_* events found — the trace has only host "
               "dispatch lanes; device time unknown (do NOT read the host "
