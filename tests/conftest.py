@@ -22,6 +22,16 @@ jax.config.update("jax_default_matmul_precision", "highest")
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
+# Persistent compile cache (same dir the CLIs use; entries are keyed by
+# backend + compile options, so CPU test executables never collide with TPU
+# ones). The suite re-compiles the same tiny-model shapes every run — on
+# this 1-vCPU box the cache cuts a full-suite run by minutes, and the
+# subprocess-heavy tests (tuning trials, watchdog scenarios) by more.
+from lets_face_it_tpu.utils.compile_cache import (  # noqa: E402
+    enable_persistent_compile_cache)
+
+enable_persistent_compile_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
