@@ -108,3 +108,57 @@ def test_data_parallel_sampling_matches_single_device():
     assert n_shards == 8
     np.testing.assert_allclose(np.asarray(single), np.asarray(sharded_out),
                                atol=1e-5)
+
+
+def test_multi_step_dispatch_matches_single_on_mesh():
+    """One k=2 multi-step dispatch (in-jit gathers + lax.scan of the step
+    body) on the 8-device mesh reproduces two mesh single steps fed the
+    host-gathered equivalents of the same windows — the production
+    --steps_per_dispatch combination (train/loop.py passes mesh= the same
+    way)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    hp = tiny_hparams(batch_size=16)
+    hp.Train["use_negative_nll_loss"] = False
+    spec = FlowSpec.build(hp)
+    optimizer = build_optimizer(hp, 10)
+    mesh = pmesh.make_mesh()
+    seq_len = int(hp.Train["seq_len"])
+
+    rng = np.random.default_rng(4)
+    t_total = 80
+    c = (hp.Data["expression_dim"] + hp.Data["jaw_dim"] + hp.Data["neck_dim"])
+    s = hp.Data["speech_dim"]
+    arrays_np = {k: rng.standard_normal((t_total, d)).astype(np.float32)
+                 for k, d in (("p1_face", c), ("p2_face", c),
+                              ("p1_speech", s), ("p2_speech", s))}
+    starts_np = rng.integers(0, t_total - seq_len, size=(2, 16)).astype(
+        np.int32)
+
+    # path A: two single mesh steps on host-gathered windows
+    state_a = train_state.init_train_state(jax.random.PRNGKey(0), spec,
+                                           optimizer)
+    state_a = pmesh.replicate(mesh, state_a)
+    step = train_state.make_train_step(spec, hp, optimizer)
+    for i in range(2):
+        idx = starts_np[i][:, None] + np.arange(seq_len)[None, :]
+        batch = {k: v[idx] for k, v in arrays_np.items()}
+        state_a, ma = step(state_a, pmesh.shard_batch(mesh, batch))
+
+    # path B: ONE dispatch scanning both steps, gathers in-jit
+    rep = NamedSharding(mesh, P())
+    arrays = {k: jax.device_put(v, rep) for k, v in arrays_np.items()}
+    starts_block = jax.device_put(
+        starts_np, NamedSharding(mesh, P(None, mesh.axis_names[0])))
+    multi = train_state.make_multi_train_step(spec, hp, optimizer, seq_len)
+    state_b = train_state.init_train_state(jax.random.PRNGKey(0), spec,
+                                           optimizer)
+    state_b = pmesh.replicate(mesh, state_b)
+    state_b, mb = multi(state_b, arrays, starts_block)
+
+    assert float(ma["nll"]) == pytest.approx(
+        float(np.asarray(jax.device_get(mb["nll"]))[-1]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(jax.device_get(state_a.params)),
+                    jax.tree.leaves(jax.device_get(state_b.params))):
+        np.testing.assert_allclose(a, b, atol=2e-5)
+    assert int(jax.device_get(state_b.step)) == 2
