@@ -135,3 +135,42 @@ def test_resume_at_max_steps_terminates_cleanly(tmp_path):
                             use_mesh=False, verbose=False, max_steps=12,
                             val_hook=lambda s, v, *a: vals.append(s))
         assert vals == []          # nothing left to train or validate
+
+
+@pytest.mark.slow
+def test_kill_and_resume_with_steps_per_dispatch(tmp_path):
+    """Kill/resume trajectory continuity holds under --steps_per_dispatch:
+    2 epochs + resume for 2 more at k=3 reproduces the uninterrupted k=1
+    4-epoch run bit-for-bit-close (same (seed, epoch) data order; the
+    epoch plan re-blocks from the epoch start on resume)."""
+    seed = 13
+    common = dict(device_data_cache="on")
+
+    hp_a = _fixture_hp(tmp_path / "data", **common)
+    vals_a = []
+    state_a, _ = train(
+        hp_a, seed=seed, log_dir=None, ckpt_dir=str(tmp_path / "ck_a"),
+        use_mesh=False, verbose=False,
+        val_hook=lambda step, v, *a: vals_a.append((step, v)))
+
+    hp_b = _fixture_hp(tmp_path / "data", max_epochs=2,
+                       steps_per_dispatch=3, **common)
+    vals_b = []
+    train(hp_b, seed=seed, log_dir=None, ckpt_dir=str(tmp_path / "ck_b"),
+          use_mesh=False, verbose=False,
+          val_hook=lambda step, v, *a: vals_b.append((step, v)))
+
+    hp_c = _fixture_hp(tmp_path / "data", steps_per_dispatch=3,
+                       resume_from_checkpoint=str(tmp_path / "ck_b"),
+                       **common)
+    state_c, _ = train(
+        hp_c, seed=seed, log_dir=None, ckpt_dir=str(tmp_path / "ck_c"),
+        use_mesh=False, verbose=False,
+        val_hook=lambda step, v, *a: vals_b.append((step, v)))
+
+    assert [s for s, _ in vals_b] == [s for s, _ in vals_a]
+    np.testing.assert_allclose([v for _, v in vals_b],
+                               [v for _, v in vals_a], rtol=0, atol=5e-5)
+    for a, b in zip(jax.tree.leaves(to_saveable(jax.device_get(state_a))),
+                    jax.tree.leaves(to_saveable(jax.device_get(state_c)))):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-4)
