@@ -487,8 +487,7 @@ def wait_for_accelerator(max_wait_s: float = 1800.0) -> bool:
             fast_failures = fast_failures + 1 if fast else 0
             if fast_failures >= 3:
                 print("probe fails instantly and deterministically; last "
-                      "stderr:\n" + r.stderr.decode(errors="replace"),
-                      file=sys.stderr, flush=True)
+                      "stderr:\n" + err, file=sys.stderr, flush=True)
                 return False
         except subprocess.TimeoutExpired:
             fast_failures = 0

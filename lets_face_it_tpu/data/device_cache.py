@@ -70,9 +70,11 @@ class DeviceWindowBatcher:
             axis = mesh.axis_names[0]
             replicated = NamedSharding(mesh, P())
             self._starts_sharding = NamedSharding(mesh, P(axis))
+            self._block_sharding = NamedSharding(mesh, P(None, axis))
             put = lambda a: jax.device_put(a, replicated)  # noqa: E731
         else:
             self._starts_sharding = None
+            self._block_sharding = None
             put = jnp.asarray
         self.arrays = {k: put(v) for k, v in ds.arrays.items()}
         self.total_bytes = int(sum(v.nbytes for v in ds.arrays.values()))
@@ -89,11 +91,8 @@ class DeviceWindowBatcher:
         sharded indices — same layout as ``get_batch``'s starts)."""
         blk = np.stack([self.window_starts[np.asarray(ix)]
                         for ix in index_batches]).astype(np.int32)
-        if self._mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            sh = NamedSharding(self._mesh, P(None, self._mesh.axis_names[0]))
-            return jax.device_put(blk, sh)
+        if self._block_sharding is not None:
+            return jax.device_put(blk, self._block_sharding)
         return jnp.asarray(blk)
 
     def get_batch(self, indices) -> dict:

@@ -254,11 +254,9 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
     multi_step = None
     if k_dispatch > 1:
         if dev_batcher is None:
-            logger_warn = ("steps_per_dispatch=%d needs the device data "
-                           "cache (device_data_cache=on/auto on an "
-                           "accelerator); running one step per dispatch"
-                           % k_dispatch)
-            print(logger_warn, flush=True)
+            print(f"steps_per_dispatch={k_dispatch} needs the device data "
+                  "cache (device_data_cache=on/auto on an accelerator); "
+                  "running one step per dispatch", flush=True)
             k_dispatch = 1
         else:
             multi_step = train_state.make_multi_train_step(
@@ -291,6 +289,15 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
                       if v.dtype == jnp.bfloat16 else v)
                   for k, v in jb.items()}
         return jb
+
+    def log_step_metrics(metric_host_dict):
+        m = {k: float(v) for k, v in metric_host_dict.items()}
+        m["train_loss"] = m.pop("loss")
+        m["steps_per_sec"] = ((global_step - start_step)
+                              / (time.time() - t_start))
+        logger.scalars(global_step, m)
+        if step_hook is not None:
+            step_hook(global_step, m)
 
     try:
         for epoch in range(start_epoch, max_epochs):
@@ -370,14 +377,8 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
                     if watchdog is not None:
                         watchdog.beat()
                     if verbose and n_dispatch % log_every == 0:
-                        m = {k: float(v[-1])
-                             for k, v in jax.device_get(ms).items()}
-                        m["train_loss"] = m.pop("loss")
-                        m["steps_per_sec"] = ((global_step - start_step)
-                                              / (time.time() - t_start))
-                        logger.scalars(global_step, m)
-                        if step_hook is not None:
-                            step_hook(global_step, m)
+                        log_step_metrics({k: v[-1] for k, v in
+                                          jax.device_get(ms).items()})
                     if max_steps is not None and global_step >= max_steps:
                         done = True
                         break
@@ -395,13 +396,7 @@ def train(hp: HParams, *, seed: int = 1234, log_dir=None, ckpt_dir=None,
                     watchdog.beat()
 
                 if verbose and global_step % 10 == 0:
-                    m = {k: float(v) for k, v in jax.device_get(step_metrics).items()}
-                    m["train_loss"] = m.pop("loss")
-                    m["steps_per_sec"] = ((global_step - start_step)
-                                          / (time.time() - t_start))
-                    logger.scalars(global_step, m)
-                    if step_hook is not None:
-                        step_hook(global_step, m)
+                    log_step_metrics(jax.device_get(step_metrics))
 
                 if max_steps is not None and global_step >= max_steps:
                     done = True
