@@ -34,7 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from lets_face_it_tpu.render.flame import FlameModel, flame_vertices
+from lets_face_it_tpu.render.flame import (FlameModel, flame_vertices,
+                                           pose_and_skin)
 
 WEIGHTS = {"lmk": 1.0, "shape": 1e-3, "expr": 1e-3, "neck_pose": 100.0,
            "jaw_pose": 1e-3, "eyeballs_pose": 10.0}
@@ -44,6 +45,47 @@ IMAGE_HEIGHT = 1024.0
 class LandmarkEmbedding(NamedTuple):
     vertex_ids: np.ndarray   # [L, 3] vertex indices of the anchor triangle
     bary: jnp.ndarray        # [L, 3] barycentric weights
+
+
+class RestrictedFlame(NamedTuple):
+    """FLAME restricted to the landmark-anchor vertices.
+
+    The fit objective reads only the 51 barycentric landmarks — i.e. ~150
+    unique anchor vertices of the 5,023 — but evaluating them through the
+    full model drags every [N, V, ...] blendshape/skinning tensor through
+    HBM per L-BFGS evaluation. Blendshapes, pose correctives, and LBS are
+    per-vertex independent, so gathering the anchor rows gives bit-for-bit
+    the same landmark math ~30x smaller. The one cross-vertex coupling is
+    the joint regressor (joints = J @ v_shaped over ALL vertices); its
+    template/shapedirs contractions are precomputed so that
+    joints = j_template + betas @ j_shapedirs — the same value up to float
+    reassociation (~1 ulp)."""
+    v_template: jnp.ndarray   # [U, 3]
+    shapedirs: jnp.ndarray    # [U, 3, 400]
+    posedirs: jnp.ndarray     # [U, 3, 36]
+    lbs_weights: jnp.ndarray  # [U, 5]
+    j_template: jnp.ndarray   # [5, 3]
+    j_shapedirs: jnp.ndarray  # [5, 3, 400]
+
+
+def restrict_to_landmarks(model: FlameModel, emb: LandmarkEmbedding):
+    """-> (RestrictedFlame, LandmarkEmbedding with vertex_ids remapped to
+    positions in the gathered anchor-vertex array)."""
+    ids = np.asarray(emb.vertex_ids)
+    uniq, inv = np.unique(ids.ravel(), return_inverse=True)
+    uniq_j = jnp.asarray(uniq)
+    restricted = RestrictedFlame(
+        v_template=model.v_template[uniq_j],
+        shapedirs=model.shapedirs[uniq_j],
+        posedirs=model.posedirs[uniq_j],
+        lbs_weights=model.lbs_weights[uniq_j],
+        j_template=model.j_regressor @ model.v_template,
+        j_shapedirs=jnp.einsum("jv,vck->jck", model.j_regressor,
+                               model.shapedirs),
+    )
+    remapped = LandmarkEmbedding(
+        vertex_ids=inv.reshape(ids.shape).astype(ids.dtype), bary=emb.bary)
+    return restricted, remapped
 
 
 def load_landmark_embedding(path, faces: np.ndarray) -> LandmarkEmbedding:
@@ -66,14 +108,34 @@ def synthetic_landmark_embedding(model: FlameModel, n_landmarks: int = 51,
                              bary=jnp.asarray(bary, jnp.float32))
 
 
-def model_landmarks(model: FlameModel, emb: LandmarkEmbedding, params):
-    """3-D landmark positions for one frame's params."""
-    verts = flame_vertices(
-        model,
-        params["shape"][None], params["exp"][None],
-        jaw=params["pose"][None, 3:6], neck=params["pose"][None, :3],
-        eyes=params["pose"][None, 6:12], global_rot=params["rot"][None],
-    )[0] + params["trans"]
+def model_landmarks(model, emb: LandmarkEmbedding, params):
+    """3-D landmark positions for one frame's params.
+
+    ``model`` is a FlameModel or a RestrictedFlame (whose ``emb`` must be the
+    matching remapped embedding from ``restrict_to_landmarks``)."""
+    if isinstance(model, RestrictedFlame):
+        from lets_face_it_tpu.render.flame import _pad_to
+
+        shape = _pad_to(params["shape"][None], 300)
+        exp = _pad_to(params["exp"][None],
+                      model.shapedirs.shape[-1] - 300)
+        betas = jnp.concatenate([shape, exp], axis=-1)          # [1, 400]
+        v_shaped = (model.v_template[None]
+                    + jnp.einsum("nk,vck->nvc", betas, model.shapedirs))
+        joints = (model.j_template[None]
+                  + jnp.einsum("nk,jck->njc", betas, model.j_shapedirs))
+        verts = pose_and_skin(
+            model.posedirs, model.lbs_weights, v_shaped, joints,
+            jaw=params["pose"][None, 3:6], neck=params["pose"][None, :3],
+            eyes=params["pose"][None, 6:12], global_rot=params["rot"][None],
+        )[0] + params["trans"]
+    else:
+        verts = flame_vertices(
+            model,
+            params["shape"][None], params["exp"][None],
+            jaw=params["pose"][None, 3:6], neck=params["pose"][None, :3],
+            eyes=params["pose"][None, 6:12], global_rot=params["rot"][None],
+        )[0] + params["trans"]
     tri = verts[jnp.asarray(emb.vertex_ids)]          # [L, 3, 3]
     return jnp.einsum("lvc,lv->lc", tri, emb.bary)    # [L, 3]
 
@@ -158,7 +220,7 @@ def _fit_batch_impl(model, emb, targets, init, stage1_steps, stage2_steps):
 
 def fit_batch(model: FlameModel, emb: LandmarkEmbedding, targets,
               init=None, *, stage1_steps: int = 30, stage2_steps: int = 60,
-              mesh=None):
+              mesh=None, restrict: bool = True):
     """Fit FLAME to [N, 51, 2] target landmarks; all N frames in parallel.
 
     init: optional dict of [N, ...] arrays {trans, rot, pose, shape, exp}
@@ -169,7 +231,14 @@ def fit_batch(model: FlameModel, emb: LandmarkEmbedding, targets,
     splits the vmapped solve with zero collectives; the reference used a
     Ray actor pool over GPUs for this role, flame.py:266-291). Requires
     N % mesh.devices.size == 0.
+
+    ``restrict``: evaluate the objective through the landmark-anchor-only
+    model (``restrict_to_landmarks``) — the same math on ~150 of the 5,023
+    vertices. ``False`` forces the full-model evaluation (measurement /
+    debugging; tests pin the two paths equal).
     """
+    if restrict and not isinstance(model, RestrictedFlame):
+        model, emb = restrict_to_landmarks(model, emb)
     targets = jnp.asarray(targets, jnp.float32)
     n = targets.shape[0]
     sh = None
@@ -258,7 +327,7 @@ def fit_session_participant(part_dir, fps: int, *, model=None, emb=None,
                             landmark_embedding_path=None,
                             batch_frames: int = 256,
                             stage1_steps: int = 30, stage2_steps: int = 60,
-                            mesh=None):
+                            mesh=None, restrict: bool = True):
     """Produce ``flame_{fps}fps.h5`` for one participant directory from its
     OpenFace CSV (+ optional RingNet init), the batched-XLA replacement for
     the reference's extract_flame (flame.py:244-303).
@@ -277,6 +346,9 @@ def fit_session_participant(part_dir, fps: int, *, model=None, emb=None,
         model = load_flame(flame_model_path)
     if emb is None:
         emb = load_landmark_embedding(landmark_embedding_path, model.faces)
+    if restrict and not isinstance(model, RestrictedFlame):
+        # hoist the anchor-vertex gather out of the chunk loop
+        model, emb = restrict_to_landmarks(model, emb)
 
     with open(part_dir / f"openface_{fps}fps.csv") as f:
         rows = list(csv.reader(f))[1:]
@@ -328,7 +400,8 @@ def fit_session_participant(part_dir, fps: int, *, model=None, emb=None,
                     for k, v in chunk_init.items()}
         params, _ = fit_batch(model, emb, chunk_targets, chunk_init,
                               stage1_steps=stage1_steps,
-                              stage2_steps=stage2_steps, mesh=mesh)
+                              stage2_steps=stage2_steps, mesh=mesh,
+                              restrict=restrict)
         results["tf_trans"].append(np.asarray(params["trans"])[:keep])
         results["tf_rot"].append(np.asarray(params["rot"])[:keep])
         results["tf_pose"].append(np.asarray(params["pose"])[:keep])

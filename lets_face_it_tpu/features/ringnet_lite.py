@@ -47,6 +47,10 @@ def estimate_init(model, emb, targets, *, rigid_steps: int = 25,
     """
     targets = jnp.asarray(targets, jnp.float32)
     n = targets.shape[0]
+    # landmark-anchor-restricted evaluation: same objective, ~30x smaller
+    # tensors (see flame_fit.RestrictedFlame)
+    if not isinstance(model, flame_fit.RestrictedFlame):
+        model, emb = flame_fit.restrict_to_landmarks(model, emb)
 
     @jax.jit
     def rigid_fit(targets):

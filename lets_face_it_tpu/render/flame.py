@@ -159,21 +159,32 @@ def flame_vertices(model: FlameModel, shape, expression, jaw, neck, eyes=None,
     passes global_rot = 0 and folds head rotation into the neck joint
     (render_tools.py:196-199).
     """
-    n = shape.shape[0]
-    dtype = model.v_template.dtype
     shape = _pad_to(shape, 300)
     n_expr_total = model.shapedirs.shape[-1] - 300
     expression = _pad_to(expression, n_expr_total)
-    if eyes is None:
-        eyes = jnp.zeros((n, 6), dtype)
-    if global_rot is None:
-        global_rot = jnp.zeros((n, 3), dtype)
 
     betas = jnp.concatenate([shape, expression], axis=-1)        # [N, 400]
     v_shaped = (model.v_template[None]
                 + jnp.einsum("nk,vck->nvc", betas, model.shapedirs))
 
     joints = jnp.einsum("jv,nvc->njc", model.j_regressor, v_shaped)  # [N, 5, 3]
+    return pose_and_skin(model.posedirs, model.lbs_weights, v_shaped, joints,
+                         jaw, neck, eyes, global_rot)
+
+
+def pose_and_skin(posedirs, lbs_weights, v_shaped, joints, jaw, neck,
+                  eyes=None, global_rot=None):
+    """Pose-corrective blendshapes + forward kinematics + LBS: the second
+    half of ``flame_vertices``, split out so a vertex-subset evaluation (the
+    landmark fit restricts to the ~150 anchor vertices, features/flame_fit.py)
+    can reuse the exact math with externally supplied shaped vertices and
+    joint locations."""
+    n = v_shaped.shape[0]
+    dtype = v_shaped.dtype
+    if eyes is None:
+        eyes = jnp.zeros((n, 6), dtype)
+    if global_rot is None:
+        global_rot = jnp.zeros((n, 3), dtype)
 
     pose = jnp.stack([global_rot, neck, jaw, eyes[:, :3], eyes[:, 3:]],
                      axis=1)                                      # [N, 5, 3]
@@ -182,7 +193,7 @@ def flame_vertices(model: FlameModel, shape, expression, jaw, neck, eyes=None,
     # pose corrective blendshapes: non-root relative rotations minus identity
     eye3 = jnp.eye(3, dtype=dtype)
     pose_feature = (rot[:, 1:] - eye3).reshape(n, 36)
-    v_posed = v_shaped + jnp.einsum("np,vcp->nvc", pose_feature, model.posedirs)
+    v_posed = v_shaped + jnp.einsum("np,vcp->nvc", pose_feature, posedirs)
 
     # forward kinematics along parents [-1, 0, 1, 1, 1]
     transforms = [None] * N_JOINTS
@@ -200,7 +211,7 @@ def flame_vertices(model: FlameModel, shape, expression, jaw, neck, eyes=None,
     correction = jnp.einsum("njxy,njy->njx", A, j_homo)           # [N, 5, 4]
     A_rel = A.at[:, :, :, 3].add(-correction)
 
-    W = model.lbs_weights                                        # [V, 5]
+    W = lbs_weights                                              # [V, 5]
     T = jnp.einsum("vj,njxy->nvxy", W, A_rel)                     # [N, V, 4, 4]
     v_homo = jnp.concatenate(
         [v_posed, jnp.ones((n, v_posed.shape[1], 1), dtype)], axis=-1)

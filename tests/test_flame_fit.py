@@ -50,6 +50,84 @@ def test_fit_recovers_rigid_pose():
         assert err < 0.02, err
 
 
+def test_restricted_landmarks_match_full_model():
+    """The landmark-anchor-restricted evaluation (restrict_to_landmarks) is
+    the same landmark math as the full model — per-vertex blendshapes/LBS
+    gathered, joint regression reassociated (ulp-level)."""
+    rng = np.random.default_rng(5)
+    rmodel, remb = flame_fit.restrict_to_landmarks(MODEL, EMB)
+    # every anchor vertex appears exactly once in the gathered set
+    assert rmodel.v_template.shape[0] == np.unique(
+        np.asarray(EMB.vertex_ids)).size
+    assert rmodel.j_shapedirs.shape == (5, 3, 400)
+    for _ in range(3):
+        p = {
+            "trans": jnp.asarray(rng.uniform(-0.05, 0.05, 3), jnp.float32),
+            "rot": jnp.asarray(rng.uniform(-0.3, 0.3, 3), jnp.float32),
+            "pose": jnp.asarray(rng.uniform(-0.2, 0.2, 12), jnp.float32),
+            "shape": jnp.asarray(rng.normal(0, 0.5, 300), jnp.float32),
+            "exp": jnp.asarray(rng.normal(0, 0.5, 100), jnp.float32),
+        }
+        full = np.asarray(flame_fit.model_landmarks(MODEL, EMB, p))
+        rest = np.asarray(flame_fit.model_landmarks(rmodel, remb, p))
+        np.testing.assert_allclose(rest, full, atol=2e-6)
+
+
+def test_fit_batch_restricted_matches_full():
+    """The restricted objective is the same function as the full one: its
+    VALUE AND GRADIENT match at arbitrary points (the optimizer sees the
+    same landscape), and the fit converges to the same quality. Step-k
+    trajectory equality is deliberately NOT asserted — the joint-regression
+    reassociation is ~1 ulp, and the zoom linesearch's branches amplify
+    that chaotically mid-convergence (measured: one of four frames takes a
+    different, equally-converging path by step 10)."""
+    import jax
+
+    rng = np.random.default_rng(6)
+    rmodel, remb = flame_fit.restrict_to_landmarks(MODEL, EMB)
+    target = jnp.asarray(rng.uniform(0, 900, (51, 2)), jnp.float32)
+
+    def loss(model, emb, p):
+        return (flame_fit._lmk_dist(model, emb, p, target)
+                + flame_fit._regularizers(p))
+
+    for _ in range(3):
+        p = {
+            "trans": jnp.asarray(rng.uniform(-0.05, 0.05, 3), jnp.float32),
+            "rot": jnp.asarray(rng.uniform(-0.3, 0.3, 3), jnp.float32),
+            "pose": jnp.asarray(rng.uniform(-0.2, 0.2, 12), jnp.float32),
+            "shape": jnp.asarray(rng.normal(0, 0.5, 300), jnp.float32),
+            "exp": jnp.asarray(rng.normal(0, 0.5, 100), jnp.float32),
+            "scale": jnp.asarray(700.0),
+        }
+        v_f, g_f = jax.value_and_grad(lambda q: loss(MODEL, EMB, q))(p)
+        v_r, g_r = jax.value_and_grad(lambda q: loss(rmodel, remb, q))(p)
+        np.testing.assert_allclose(float(v_r), float(v_f), rtol=1e-5)
+        for k in g_f:
+            np.testing.assert_allclose(np.asarray(g_r[k]), np.asarray(g_f[k]),
+                                       rtol=1e-4, atol=1e-5)
+
+    # both paths converge to the same fit quality on rigid-pose recovery
+    n = 4
+    true = []
+    for _ in range(n):
+        true.append({
+            "trans": jnp.asarray(rng.uniform(-0.05, 0.05, 3), jnp.float32),
+            "rot": jnp.asarray(rng.uniform(-0.2, 0.2, 3), jnp.float32),
+            "pose": jnp.zeros(12),
+            "shape": jnp.zeros(300),
+            "exp": jnp.zeros(100),
+            "scale": jnp.asarray(900.0),
+        })
+    targets = _targets_from_params(true)
+    steps = dict(stage1_steps=40, stage2_steps=80)
+    _, losses_r = flame_fit.fit_batch(MODEL, EMB, targets, **steps)
+    _, losses_f = flame_fit.fit_batch(MODEL, EMB, targets, restrict=False,
+                                      **steps)
+    assert np.asarray(losses_r).max() < 1e-3, np.asarray(losses_r)
+    assert np.asarray(losses_f).max() < 1e-3, np.asarray(losses_f)
+
+
 def test_fit_batch_sharded_matches_single_device():
     """Frame-axis sharding over the 8-device mesh (the reference's Ray GPU
     actor-pool role) must return the same fit as the single-device path —

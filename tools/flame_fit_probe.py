@@ -14,7 +14,11 @@ Reports frames/s per chip and the projected wall-clock for the full corpus
 Targets are rendered from known ground-truth parameters, so the probe also
 checks the fits actually converge (median landmark loss reduction).
 
-Usage: python tools/flame_fit_probe.py [batch] [iters] [stage1] [stage2]
+Usage: python tools/flame_fit_probe.py [batch] [iters] [stage1] [stage2] [full]
+
+The trailing literal ``full`` evaluates the objective through the full
+5,023-vertex model (``fit_batch(restrict=False)``) instead of the default
+landmark-anchor-restricted evaluation, for an A/B on hardware.
 """
 
 from __future__ import annotations
@@ -66,9 +70,13 @@ def main():
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     stage1 = int(sys.argv[3]) if len(sys.argv) > 3 else 30
     stage2 = int(sys.argv[4]) if len(sys.argv) > 4 else 60
+    restrict = "full" not in sys.argv[5:]
 
     dev = jax.devices()[0]
-    print(f"device: {dev.device_kind} ({dev.platform}); stages {stage1}+{stage2}", flush=True)
+    print(f"device: {dev.device_kind} ({dev.platform}); stages "
+          f"{stage1}+{stage2}; objective "
+          f"{'landmark-restricted' if restrict else 'full 5023-vertex'}",
+          flush=True)
 
     model = synthetic_flame_model(5023, seed=0)   # real-FLAME tensor sizes
     emb = flame_fit.synthetic_landmark_embedding(model, 51, seed=2)
@@ -78,7 +86,7 @@ def main():
     # be a host round trip inside the timing loop (CLAUDE.md axon rules)
     run = jax.jit(lambda t, i: flame_fit.fit_batch(
         model, emb, t + i * 1e-4, stage1_steps=stage1,
-        stage2_steps=stage2))
+        stage2_steps=stage2, restrict=restrict))
 
     # pre-staged perturbation scalars: a per-iteration device_put would be
     # its own dispatch inside the timing loop. The warm-up call uses the
