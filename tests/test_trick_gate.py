@@ -1,0 +1,99 @@
+"""Unit-level semantics of the negative-NLL trick's gate (VERDICT r4 item 3).
+
+Reference lets_face_it_glow.py:38-53: a training step runs the *deranged*
+branch iff ``torch.rand(1) < 0.1`` AND ``last_mismatched_nll > 0``, where
+``last_mismatched_nll`` is set to ``-deranged_nll`` after each fire. The
+composition means the gate closes exactly when a deranged batch's NLL
+reaches ≥ 0 — an ABSOLUTE-zero threshold, not one relative to the matched
+NLL. On any corpus the model fits well (NLL < 0 bits, which includes the
+paper's own corpus: test LL ≈ +400 ⇒ NLL ≈ −400) the threshold is
+unreachable, the gate stays open forever, and the 10% gradient-ascent steps
+eventually destabilize a converged model — the post-optimum val collapse
+measured in runs/trick_gate_probe.json (see PARITY.md "the trick's
+post-optimum collapse" and the early-stop guidance there).
+
+These tests pin the gate invariants on the compiled step so the mechanism
+stays diagnosable: a non-positive gate variable blocks firing; the gate
+variable is rewritten to -nll only by fired steps; firing applies the -0.1
+loss factor.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lets_face_it_tpu.model import FlowSpec
+from lets_face_it_tpu.train import state as train_state
+from lets_face_it_tpu.train.optim import build_optimizer
+
+from conftest import random_batch, tiny_hparams
+
+N_PROBE_STEPS = 40  # P(no fire in 40 fair coins) = 0.9^40 ~ 1.5% and the
+#                     PRNG chain is deterministic from the fixed seed, so the
+#                     "fires at least once" assertions below are stable
+
+
+def _setup(last_mismatched):
+    hp = tiny_hparams()
+    assert hp.Train["use_negative_nll_loss"]
+    spec = FlowSpec.build(hp)
+    optimizer = build_optimizer(hp, 10)
+    state = train_state.init_train_state(jax.random.PRNGKey(0), spec,
+                                         optimizer)
+    state = state._replace(
+        last_mismatched_nll=jnp.asarray(last_mismatched, jnp.float32))
+    step = train_state.make_train_step(spec, hp, optimizer)
+    batch = {k: jnp.asarray(v) for k, v in random_batch(hp).items()}
+    return state, step, batch
+
+
+def test_closed_gate_never_fires_and_stays_closed():
+    """last_mismatched_nll ≤ 0 blocks the deranged branch regardless of the
+    coin, and — because only fired steps rewrite the gate variable — the
+    gate can never reopen on its own (reference :45-47,52-53)."""
+    state, step, batch = _setup(-1.0)
+    for _ in range(N_PROBE_STEPS):
+        state, m = step(state, batch)
+        assert float(m["deranged"]) == 0.0
+    assert float(state.last_mismatched_nll) == -1.0
+
+
+def test_open_gate_fires_about_ten_percent_and_updates_last():
+    """With the gate open (+inf initial state, reference :29 sets None ⇒
+    treated as open), ~10% of steps derange; each fired step rewrites
+    last_mismatched_nll to -nll_of_that_step (the NLL it just measured on
+    deranged conditioning), and the loss carries the -0.1 ascent factor."""
+    state, step, batch = _setup(np.inf)
+    fired = 0
+    for _ in range(N_PROBE_STEPS):
+        prev_last = float(state.last_mismatched_nll)
+        state, m = step(state, batch)
+        if float(m["deranged"]) == 1.0:
+            fired += 1
+            np.testing.assert_allclose(float(state.last_mismatched_nll),
+                                       -float(m["nll"]), rtol=1e-6)
+            np.testing.assert_allclose(float(m["loss"]),
+                                       -0.1 * float(m["nll"]), rtol=1e-6)
+        else:
+            assert float(state.last_mismatched_nll) == prev_last
+    assert fired >= 1
+    # on this random-noise fixture the model is untrained: NLL > 0, so each
+    # fire CLOSES the gate (-nll < 0) until... nothing reopens it — after
+    # the first fire, no further steps derange. The absolute-zero threshold
+    # in action.
+    assert fired == 1
+    assert float(state.last_mismatched_nll) <= 0
+
+
+def test_gate_open_iff_deranged_nll_was_negative():
+    """The gate-closure invariant the probe run confirms at scale: after a
+    fired step, the gate is open for future steps iff that deranged NLL was
+    negative (model still assigns the mismatched batch high likelihood)."""
+    state, step, batch = _setup(np.inf)
+    for _ in range(N_PROBE_STEPS):
+        state, m = step(state, batch)
+        if float(m["deranged"]) == 1.0:
+            gate_open_after = float(state.last_mismatched_nll) > 0
+            assert gate_open_after == (float(m["nll"]) < 0)
+            return
+    raise AssertionError("no deranged step fired in the probe window")
