@@ -14,8 +14,12 @@ latency of a stall is bounded by one round trip, not k.
 
 from __future__ import annotations
 
+import time
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lets_face_it_tpu.model import FlowSpec, SeqGlowParams, encoders, flow
 
@@ -170,6 +174,14 @@ class StreamingGenerator:
                                  self.rng, inputs, self.eps_std)
         return x_kt
 
+    def catchup_sizes(self, max_catchup: int = 8):
+        """The power-of-two dispatch sizes the paced session draws from
+        (jit specializes on k, so each size is one compile)."""
+        sizes = [1]
+        while sizes[-1] * 2 <= max_catchup:
+            sizes.append(sizes[-1] * 2)
+        return sizes
+
     def reset(self, seed_faces=None):
         """Start a new sequence: zero (or seed) the own-face history and reset
         the coupling-RNN states (the reference resets states at every sequence
@@ -180,3 +192,98 @@ class StreamingGenerator:
         else:
             self.face_hist = jnp.zeros_like(self.face_hist)
         self.states = flow.init_flow_states(self.spec, b)
+
+
+class SessionReport(NamedTuple):
+    """What a depth-d jitter buffer experienced over one paced session."""
+
+    frames: np.ndarray       # [B, n, C] generated output, playout order
+    lateness_s: np.ndarray   # [n] completion wall time - frame arrival time
+    underruns: int           # frames NOT ready at their depth-d playout slot
+    min_depth: int           # smallest integer depth with zero underruns
+    max_dispatch: int        # largest catch-up block dispatched
+    depth: int               # the depth the session was run at
+
+
+def run_paced_session(gen: StreamingGenerator, frames, *, depth: int = 2,
+                      fps: float = 25.0, max_catchup: int = 8,
+                      precompile: bool = True) -> SessionReport:
+    """Drive a real-clock live session through a depth-``depth`` jitter
+    buffer (BASELINE config 5's serving finish line).
+
+    ``frames`` is a sequence of per-frame input dicts ``{modality: [B, D]}``
+    arriving on the ``fps`` clock. Playout of frame j is scheduled at
+    ``t0 + (j + depth) / fps`` — the buffer trades ``depth`` frame periods of
+    fixed delay for immunity to completion lateness up to ``depth/fps``. A
+    frame whose generation completes after its playout slot is an
+    **underrun** (a live avatar would freeze for a frame); ``min_depth`` is
+    the smallest buffer that would have absorbed this session's worst
+    lateness, ``ceil(max_lateness * fps)``.
+
+    Backlogs are drained through ``push_many`` in power-of-two blocks up to
+    ``max_catchup`` (one dispatch per block — the catch-up path measured in
+    bench.py), so a stall's tail cost is one round trip, not k. The
+    generated frame VALUES are independent of the dispatch partitioning
+    (push_many ≡ k pushes on the same PRNG stream,
+    tests/test_streaming.py::test_push_many_matches_per_frame_pushes), so
+    pacing only affects timing, never content.
+    """
+    names = list(gen.windows)
+    n = len(frames)
+    period = 1.0 / fps
+    sizes = gen.catchup_sizes(max_catchup)
+
+    def block(idx, k):
+        """[B, k, D] per modality from frames[idx : idx + k]."""
+        return {name: jnp.stack([jnp.asarray(frames[idx + j][name])
+                                 for j in range(k)], axis=1)
+                for name in names}
+
+    if precompile:
+        # compile every dispatch size outside the timed session, then
+        # rewind the session state (the PRNG advances; values are the
+        # caller's concern only via the rng seed, timing is ours)
+        np.asarray(gen.push(**frames[0]))
+        for k in sizes[1:]:
+            np.asarray(gen.push_many(**block(0, min(k, n))))
+        gen.reset()
+
+    outputs = []
+    completion = np.zeros(n)
+    dispatch_sizes = []
+    t0 = time.perf_counter()
+    next_idx = 0
+    while next_idx < n:
+        now = time.perf_counter()
+        arrived = min(n, int((now - t0) / period) + 1)
+        backlog = arrived - next_idx
+        if backlog <= 0:
+            time.sleep(max(0.0, t0 + next_idx * period - now))
+            continue
+        k = next(sz for sz in reversed(sizes) if sz <= backlog)
+        if k == 1:
+            out = gen.push(**frames[next_idx])
+            float(out[0, 0])                      # blocking round trip
+            outputs.append(np.asarray(out)[:, None])
+        else:
+            out = gen.push_many(**block(next_idx, k))
+            float(out[0, -1, 0])
+            outputs.append(np.asarray(out))
+        done = time.perf_counter()
+        dispatch_sizes.append(k)
+        completion[next_idx:next_idx + k] = done - t0
+        next_idx += k
+
+    arrival = np.arange(n) * period
+    lateness = completion - arrival
+    playout = (np.arange(n) + depth) * period
+    underruns = int(np.sum(completion > playout))
+    min_depth = int(np.ceil(lateness.max() * fps - 1e-9))
+    return SessionReport(
+        frames=np.concatenate(outputs, axis=1),
+        lateness_s=lateness,
+        underruns=underruns,
+        min_depth=max(min_depth, 0),
+        max_dispatch=int(max(dispatch_sizes)),
+        depth=depth,
+    )

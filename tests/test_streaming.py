@@ -6,7 +6,10 @@ import numpy as np
 import pytest
 
 from lets_face_it_tpu.model import FlowSpec, init_seqglow, seqglow
-from lets_face_it_tpu.sample.streaming import StreamingGenerator
+from lets_face_it_tpu.sample.streaming import (
+    StreamingGenerator,
+    run_paced_session,
+)
 
 from conftest import tiny_hparams
 
@@ -89,6 +92,79 @@ def test_push_many_matches_per_frame_pushes():
     bad["p1_speech"] = frames["p1_speech"][:, :-1]
     with pytest.raises(ValueError, match="frames"):
         gen_b.push_many(**bad)
+
+
+def _session_frames(spec, hp, n, b=1, seed=3):
+    rng = np.random.default_rng(seed)
+    c, s = spec.channels, hp.Data["speech_dim"]
+    return [
+        {"p2_face": rng.standard_normal((b, c)).astype(np.float32),
+         "p1_speech": rng.standard_normal((b, s)).astype(np.float32),
+         "p2_speech": rng.standard_normal((b, s)).astype(np.float32)}
+        for _ in range(n)
+    ]
+
+
+def test_paced_session_values_independent_of_pacing():
+    """The jitter buffer only affects TIMING: a real-clock paced session
+    (whatever push/push_many partition the clock produced) emits exactly the
+    frames a plain push loop emits on the same PRNG seed."""
+    hp = tiny_hparams()
+    spec = FlowSpec.build(hp)
+    params = init_seqglow(jax.random.PRNGKey(0), spec)
+    n = 30
+    frames = _session_frames(spec, hp, n)
+
+    gen_a = StreamingGenerator(spec, params, batch_size=1, eps_std=1.0,
+                               seed=11, use_fused=False)
+    plain = np.stack([np.asarray(gen_a.push(**f)) for f in frames], axis=1)
+
+    gen_b = StreamingGenerator(spec, params, batch_size=1, eps_std=1.0,
+                               seed=11, use_fused=False)
+    # fps=500 on a CPU box forces real backlogs -> mixed dispatch sizes
+    report = run_paced_session(gen_b, frames, depth=2, fps=500.0,
+                               precompile=False)
+    assert report.frames.shape == (1, n, spec.channels)
+    np.testing.assert_allclose(report.frames, plain, atol=1e-5)
+
+
+def test_paced_session_report_accounting():
+    """Underruns and min_depth are pure functions of the lateness vector:
+    underrun iff completion exceeds the depth-d playout slot, and min_depth
+    is the smallest depth with zero underruns."""
+    hp = tiny_hparams()
+    spec = FlowSpec.build(hp)
+    params = init_seqglow(jax.random.PRNGKey(0), spec)
+    n = 40
+    frames = _session_frames(spec, hp, n, seed=4)
+    gen = StreamingGenerator(spec, params, batch_size=1, eps_std=1.0,
+                             use_fused=False)
+    fps = 200.0
+    report = run_paced_session(gen, frames, depth=2, fps=fps,
+                               precompile=True)
+
+    period = 1.0 / fps
+    completion = report.lateness_s + np.arange(n) * period
+    expect_underruns = int(np.sum(
+        completion > (np.arange(n) + report.depth) * period))
+    assert report.underruns == expect_underruns
+    assert report.min_depth == max(
+        int(np.ceil(report.lateness_s.max() * fps - 1e-9)), 0)
+    # at depth >= min_depth the same session would have had zero underruns
+    assert np.sum(completion > (np.arange(n) + report.min_depth) * period) == 0
+    assert 1 <= report.max_dispatch <= 8
+    # lateness is positive (completion follows arrival) and finite
+    assert (report.lateness_s > 0).all() and np.isfinite(report.frames).all()
+
+
+def test_catchup_sizes():
+    hp = tiny_hparams()
+    spec = FlowSpec.build(hp)
+    params = init_seqglow(jax.random.PRNGKey(0), spec)
+    gen = StreamingGenerator(spec, params, batch_size=1, use_fused=False)
+    assert gen.catchup_sizes(8) == [1, 2, 4, 8]
+    assert gen.catchup_sizes(1) == [1]
+    assert gen.catchup_sizes(6) == [1, 2, 4]
 
 
 def test_streaming_reset():
