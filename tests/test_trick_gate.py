@@ -85,6 +85,30 @@ def test_open_gate_fires_about_ten_percent_and_updates_last():
     assert float(state.last_mismatched_nll) <= 0
 
 
+def test_gate_probe_artifact_integrity():
+    """The committed 900-step v5e instrumentation run must keep telling the
+    story PARITY.md cites: gate open on every step, every deranged NLL
+    negative (the absolute-zero closure threshold unreachable), ~10% fire
+    rate, and a >1,000-bit post-optimum val regression."""
+    import json
+    from pathlib import Path
+
+    artifact = (Path(__file__).resolve().parent.parent / "runs"
+                / "trick_gate_probe.json")
+    d = json.loads(artifact.read_text())
+    s = d["summary"]
+    assert s["total_steps"] >= 900
+    assert not s["gate_ever_closed"]
+    assert not s["any_deranged_nll_nonnegative"]
+    assert s["deranged_nll_range"][1] < 0
+    assert 0.05 <= s["fire_rate"] <= 0.15
+    assert all(w["gate_open_frac"] == 1.0 for w in d["windows"])
+    assert s["post_optimum_regression_nats"] > 1000
+    # the collapse is post-optimum: best val strictly precedes the end
+    assert s["best_val"]["step"] < s["final_val"]["step"]
+    assert s["final_val"]["val_loss"] > s["best_val"]["val_loss"]
+
+
 def test_gate_open_iff_deranged_nll_was_negative():
     """The gate-closure invariant the probe run confirms at scale: after a
     fired step, the gate is open for future steps iff that deranged NLL was
