@@ -1,0 +1,40 @@
+"""The bf16-vs-f32 convergence A/B artifact (VERDICT r4 item 2).
+
+``runs/precision_ab.json`` is the committed evidence that the advertised
+bf16-matmul production mode matches f32-highest *convergence*, not just
+throughput: final_model, same seed/fixture/schedule, 5,000 steps each way on
+the v5e (tools/precision_ab.py). These tests pin the artifact's integrity
+and its conclusion so an edit or a degraded re-capture cannot silently keep
+the PERF.md/PARITY.md claim alive.
+"""
+
+import json
+from pathlib import Path
+
+ARTIFACT = Path(__file__).resolve().parent.parent / "runs" / "precision_ab.json"
+
+
+def test_precision_ab_artifact_integrity():
+    d = json.loads(ARTIFACT.read_text())
+    s = d["summary"]
+    assert d["config"] == "final_model"
+    assert d["max_steps"] >= 5000
+    assert s["shared_val_steps"] >= 8
+    assert s["final_step"] >= 5000
+    for arm in ("f32", "bf16"):
+        curve = d["arms"][arm]["curve"]
+        assert len(curve) >= 8
+        vals = [r["val_loss"] for r in curve]
+        # both precisions converge monotonically on this fixture
+        assert all(b < a for a, b in zip(vals, vals[1:])), arm
+
+
+def test_precision_ab_bf16_matches_f32_convergence():
+    """The claim PERF.md/PARITY.md make: bf16 training convergence matches
+    f32 within a few bits on NLLs of thousands of bits (measured: max 8.7
+    bits apart anywhere on the curve, 6.1 at step 5,000 — 0.07% relative)."""
+    d = json.loads(ARTIFACT.read_text())
+    s = d["summary"]
+    assert abs(s["final_delta_bits"]) < 20.0
+    assert s["max_abs_delta_bits"] < 20.0
+    assert abs(s["final_delta_relative"]) < 0.005
