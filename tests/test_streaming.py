@@ -105,6 +105,36 @@ def _session_frames(spec, hp, n, b=1, seed=3):
     ]
 
 
+def test_push_staged_matches_per_frame_pushes():
+    """The staged-stream dispatch (device-resident [n, B, D] conditioning,
+    in-jit dynamic_slice — the zero-upload serving path) is semantically
+    identical to per-frame pushes under ANY partition of the stream, and the
+    post-dispatch state continues the same trajectory."""
+    hp = tiny_hparams()
+    spec = FlowSpec.build(hp)
+    params = init_seqglow(jax.random.PRNGKey(0), spec)
+    n = 5
+    frames = _session_frames(spec, hp, n, b=2, seed=9)
+
+    gen_a = StreamingGenerator(spec, params, batch_size=2, eps_std=1.0,
+                               seed=7, use_fused=False)
+    singles = np.concatenate(
+        [np.asarray(gen_a.push(**f))[:, None] for f in frames], axis=1)
+
+    gen_b = StreamingGenerator(spec, params, batch_size=2, eps_std=1.0,
+                               seed=7, use_fused=False)
+    staged = gen_b.stage_session(frames)
+    mixed = np.concatenate([np.asarray(gen_b.push_staged(staged, 0, 3)),
+                            np.asarray(gen_b.push_staged(staged, 3, 1)),
+                            np.asarray(gen_b.push_staged(staged, 4, 1))],
+                           axis=1)
+    np.testing.assert_allclose(mixed, singles, atol=1e-5)
+
+    tail = _session_frames(spec, hp, 1, b=2, seed=10)[0]
+    np.testing.assert_allclose(np.asarray(gen_b.push(**tail)),
+                               np.asarray(gen_a.push(**tail)), atol=1e-5)
+
+
 def test_paced_session_values_independent_of_pacing():
     """The jitter buffer only affects TIMING: a real-clock paced session
     (whatever push/push_many partition the clock produced) emits exactly the
