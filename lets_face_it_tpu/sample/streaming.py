@@ -193,14 +193,18 @@ class StreamingGenerator:
                                             for f in frames]))
                 for name in self.windows}
 
-    def push_staged(self, staged: dict, idx: int, k: int = 1):
+    def push_staged(self, staged: dict, idx, k: int = 1):
         """Consume frames [idx, idx+k) of a staged stream in ONE dispatch.
 
         Semantically identical to k ``push`` calls on those frames (same
-        PRNG stream, same rolling state); returns [B, k, C]. The slice
-        happens inside the compiled step (``lax.dynamic_slice``), so the
-        only host->device traffic is the scalar ``idx``. One compile per
-        distinct k."""
+        PRNG stream, same rolling state); returns ``(frames [B, k, C],
+        next_idx)``. The slice happens inside the compiled step
+        (``lax.dynamic_slice``) and ``next_idx`` (= idx + k) comes back as a
+        DEVICE scalar: feed it to the next call and the serving loop ships
+        nothing to the device at all — even a 4-byte eager ``jnp.asarray``
+        of the index costs a full blocking round trip on a remote transport
+        (measured round 5: it alone tripled per-frame session lateness).
+        One compile per distinct k."""
         if k not in self._step_staged:
             step_many = self._make_step_many()
 
@@ -208,16 +212,18 @@ class StreamingGenerator:
                             eps_std):
                 inputs = {n: jax.lax.dynamic_slice_in_dim(a, idx, k, axis=0)
                           for n, a in staged.items()}
-                return step_many(face_hist, windows, states, rng, inputs,
-                                 eps_std)
+                out = step_many(face_hist, windows, states, rng, inputs,
+                                eps_std)
+                return out + (idx + k,)
 
             self._step_staged[k] = jax.jit(staged_step)
+        if not isinstance(idx, jax.Array):
+            idx = jnp.asarray(idx, jnp.int32)
         (self.face_hist, self.windows, self.states, self.rng,
-         x_kt) = self._step_staged[k](self.face_hist, self.windows,
-                                      self.states, self.rng, staged,
-                                      jnp.asarray(idx, jnp.int32),
-                                      self.eps_std)
-        return x_kt
+         x_kt, next_idx) = self._step_staged[k](
+            self.face_hist, self.windows, self.states, self.rng, staged,
+            idx, self.eps_std)
+        return x_kt, next_idx
 
     def catchup_sizes(self, max_catchup: int = 8):
         """The power-of-two dispatch sizes the paced session draws from
@@ -286,12 +292,14 @@ def run_paced_session(gen: StreamingGenerator, frames, *, depth: int = 2,
         # rewind the session state (the PRNG advances; values are the
         # caller's concern only via the rng seed, timing is ours)
         for k in sizes:
-            np.asarray(gen.push_staged(staged, 0, k))
+            np.asarray(gen.push_staged(staged, 0, k)[0])
         gen.reset()
 
     outputs = []
     completion = np.zeros(n)
     dispatch_sizes = []
+    idx_dev = jnp.zeros((), jnp.int32)   # stream cursor STAYS on device:
+    #                                      after this, the loop ships nothing
     t0 = time.perf_counter()
     next_idx = 0
     while next_idx < n:
@@ -303,10 +311,10 @@ def run_paced_session(gen: StreamingGenerator, frames, *, depth: int = 2,
             continue
         k = next(sz for sz in reversed(sizes)
                  if sz <= backlog and next_idx + sz <= n)
-        out = gen.push_staged(staged, next_idx, k)
-        float(out[0, -1, 0])                      # blocking round trip
-        outputs.append(np.asarray(out))
+        out, idx_dev = gen.push_staged(staged, idx_dev, k)
+        arr = np.asarray(out)                 # the one blocking round trip
         done = time.perf_counter()
+        outputs.append(arr)
         dispatch_sizes.append(k)
         completion[next_idx:next_idx + k] = done - t0
         next_idx += k

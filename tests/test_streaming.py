@@ -124,10 +124,12 @@ def test_push_staged_matches_per_frame_pushes():
     gen_b = StreamingGenerator(spec, params, batch_size=2, eps_std=1.0,
                                seed=7, use_fused=False)
     staged = gen_b.stage_session(frames)
-    mixed = np.concatenate([np.asarray(gen_b.push_staged(staged, 0, 3)),
-                            np.asarray(gen_b.push_staged(staged, 3, 1)),
-                            np.asarray(gen_b.push_staged(staged, 4, 1))],
-                           axis=1)
+    out1, cur = gen_b.push_staged(staged, 0, 3)
+    out2, cur = gen_b.push_staged(staged, cur, 1)   # device-resident cursor
+    assert int(cur) == 4
+    out3, _ = gen_b.push_staged(staged, 4, 1)       # explicit host index
+    mixed = np.concatenate([np.asarray(out1), np.asarray(out2),
+                            np.asarray(out3)], axis=1)
     np.testing.assert_allclose(mixed, singles, atol=1e-5)
 
     tail = _session_frames(spec, hp, 1, b=2, seed=10)[0]
