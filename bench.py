@@ -389,7 +389,7 @@ def bench_streaming_session(hp, spec, params, n_frames: int = 300,
 
 def bench_streaming_capacity(hp, spec, params, fps: float = REALTIME_FPS,
                              budget_ms: float = 40.0, n_iters: int = 64,
-                             ladder=(64, 256, 1024)):
+                             ladder=(64, 256, 1024, 4096, 8192)):
     """Concurrent live sessions per chip (VERDICT r4 item 5): a batched
     StreamingGenerator IS B simultaneous 25-fps sessions sharing each
     dispatch (one [B, C] frame step serves every session), so serving

@@ -41,16 +41,33 @@ def _gru_cell(gi, gh, h_prev):
     return (1 - z) * n + z * h_prev
 
 
-def _window_gru(P, prefix, window):
-    """Single-layer GRU over [B, h, D]; returns concat(h_T, h_T) — the
-    reference ModalityEncoder quirk (models.py:64,69)."""
+def _lstm_cell(gates, h_prev, c_prev):
+    """One torch-convention LSTM cell update from the summed gate
+    projections (i, f, g, o chunk order); returns (h, c)."""
+    i, f, g, o = gates.chunk(4, dim=1)
+    i, f, o = torch.sigmoid(i), torch.sigmoid(f), torch.sigmoid(o)
+    c = f * c_prev + i * torch.tanh(g)
+    return o * torch.tanh(c), c
+
+
+def _window_rnn(P, prefix, window):
+    """Single-layer GRU or LSTM over [B, h, D] (detected by the gate-count
+    of W_ih); returns concat(h_T, h_T) — the reference ModalityEncoder
+    quirk (models.py:64,69; for a single layer, last output == h_T in both
+    cell types)."""
     w_ih, w_hh = P(f"{prefix}.weight_ih_l0"), P(f"{prefix}.weight_hh_l0")
     b_ih, b_hh = P(f"{prefix}.bias_ih_l0"), P(f"{prefix}.bias_hh_l0")
     hdim = w_hh.shape[1]
+    is_lstm = w_ih.shape[0] == 4 * hdim
     h = torch.zeros(window.shape[0], hdim, dtype=_T)
+    c = torch.zeros_like(h)
     for step in range(window.shape[1]):
-        h = _gru_cell(window[:, step] @ w_ih.T + b_ih,
-                      h @ w_hh.T + b_hh, h)
+        gi = window[:, step] @ w_ih.T + b_ih
+        gh = h @ w_hh.T + b_hh
+        if is_lstm:
+            h, c = _lstm_cell(gi + gh, h, c)
+        else:
+            h = _gru_cell(gi, gh, h)
     return torch.cat([h, h], dim=1)
 
 
@@ -68,18 +85,24 @@ def _cond_vector(P, cond_cfg, prev_p1_faces, data, ts, frame_nb=None):
         h = cond_cfg[name]["history"]
         if h:
             win = data[name][:, ts - h + 1:ts + 1]
-            parts.append(_window_gru(
+            parts.append(_window_rnn(
                 P, f"seq_glow.feature_encoder.{name}_encoder.encoder", win))
     if frame_nb is not None:
         parts.append(frame_nb)
     return torch.cat(parts, dim=1)
 
 
-def _coupling_f(P, pre, z1, cond, h_prev):
+def _coupling_f(P, pre, z1, cond, state):
     """The coupling transform f (models.py:148-214): LeakyReLU cond
-    projection, GRUCell advance, zero-init head with 3x logscale. Returns
-    (shift, scale_raw, h_new); the GRU state update is the side effect that
-    threads through time."""
+    projection, GRUCell/LSTMCell advance (detected by the gate-count of
+    W_ih), zero-init head with 3x logscale. Returns
+    (shift, scale_raw, new_state) where state is h for GRU and (h, c) for
+    LSTM; the cell-state update is the side effect that threads through
+    time. (Zero initial LSTM state is the obvious reading of the
+    reference's ``init_rnn_hidden`` — its literal LSTM path passes
+    ``(None, None)`` to LSTMCell on the first frame and would crash
+    (models.py:196-213), one more latent bug in the never-shipped LSTM
+    configuration; GRU's None ⇒ zeros behavior is what it intended.)"""
     cw = P(f"{pre}.f.cond_transform.0.weight")
     cb = P(f"{pre}.f.cond_transform.0.bias")
     cond_t = torch.nn.functional.leaky_relu(cond @ cw.T + cb, 0.01)
@@ -87,15 +110,25 @@ def _coupling_f(P, pre, z1, cond, h_prev):
     w_ih, w_hh = P(f"{pre}.f.rnn.weight_ih"), P(f"{pre}.f.rnn.weight_hh")
     b_ih, b_hh = P(f"{pre}.f.rnn.bias_ih"), P(f"{pre}.f.rnn.bias_hh")
     hdim = w_hh.shape[1]
-    if h_prev is None:
+    is_lstm = w_ih.shape[0] == 4 * hdim
+    if state is None:
         h_prev = torch.zeros(z1.shape[0], hdim, dtype=_T)
-    h_new = _gru_cell(rnn_in @ w_ih.T + b_ih, h_prev @ w_hh.T + b_hh, h_prev)
+        state = (h_prev, torch.zeros_like(h_prev)) if is_lstm else h_prev
+    gi = rnn_in @ w_ih.T + b_ih
+    if is_lstm:
+        h_prev, c_prev = state
+        h_new, c_new = _lstm_cell(gi + h_prev @ w_hh.T + b_hh, h_prev,
+                                  c_prev)
+        new_state = (h_new, c_new)
+    else:
+        h_new = _gru_cell(gi, state @ w_hh.T + b_hh, state)
+        new_state = h_new
     fw = P(f"{pre}.f.final_linear.weight")
     fb = P(f"{pre}.f.final_linear.bias")
     flogs = P(f"{pre}.f.final_linear.logs")
     hout = (h_new @ fw.T + fb) * torch.exp(flogs * 3.0)
     # "cross" split: shift = even, scale = odd channels (thops.py:36-44)
-    return hout[:, 0::2], hout[:, 1::2], h_new
+    return hout[:, 0::2], hout[:, 1::2], new_state
 
 
 def _invconv_weight(P, pre, cc, reverse):

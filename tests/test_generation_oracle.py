@@ -127,6 +127,31 @@ def test_no_face_ablation_decode_matches_torch():
     np.testing.assert_allclose(np.asarray(ours), oracle, atol=1e-4)
 
 
+def test_lstm_coupling_and_encoders_match_torch():
+    """The LSTM configuration (Glow rnn_type 'lstm' + 'lstm' window
+    encoders — supported by the framework, latent-buggy in the reference,
+    see torch_ref._coupling_f) is oracled both ways: teacher-forced NLL and
+    the z-stream decode."""
+    hp = final_like_hparams()
+    hp.Glow["rnn_type"] = "lstm"
+    hp.Conditioning["p2_face"]["enc"] = "lstm"
+    spec = FlowSpec.build(hp)
+    params = _perturbed_params(spec)
+    state = export_state_dict(params, spec)
+
+    batch = _parity_batch()
+    _, loss_jax, _ = seqglow.sequence_nll(spec, params, batch)
+    loss_torch = torch_sequence_nll(state, hp, batch)
+    assert float(loss_jax) == pytest.approx(loss_torch, rel=2e-5)
+
+    data, z_stream, seq_len = _decode_inputs(hp, spec, zero_seed=False)
+    ours = seqglow.sequence_sample_jit(
+        spec, params, {k: jnp.asarray(v) for k, v in data.items()}, seq_len,
+        rng=jax.random.PRNGKey(0), z_seq=jnp.asarray(z_stream))
+    oracle = torch_sequence_inference(state, hp, data, z_stream)
+    np.testing.assert_allclose(np.asarray(ours), oracle, atol=1e-4)
+
+
 def test_nll_refactor_unchanged():
     """The torch_ref refactor (shared layer helpers between forward and
     decode) must leave the forward-NLL oracle's value bit-compatible with
