@@ -246,6 +246,21 @@ def pallas_supported(spec: FlowSpec) -> bool:
             and spec.cond.cond_dim % 128 == 0)
 
 
+# The per-frame kernel has no batch grid: all K GRU states plus the working
+# tiles live on the VMEM stack for the WHOLE batch. Measured on the final
+# model (round 5): b1024 asks for 21.59 MB of scoped VMEM against Mosaic's
+# 16 MB budget (~21.6 KB/row), a compile-time error. 512 rows (~11 MB) is
+# the largest power-of-two inside the envelope; bigger batches auto-fall
+# back to the XLA step path, which serves b1024-8192 at 2.6-20 ms/frame
+# (bench.py capacity ladder) — still far inside the 40 ms 25-fps budget.
+FRAME_FUSED_MAX_BATCH = 512
+
+
+def frame_fused_batch_ok(batch_size: int) -> bool:
+    """Whether the per-frame fused kernel's VMEM stack fits this batch."""
+    return batch_size <= FRAME_FUSED_MAX_BATCH
+
+
 # ---------------------------------------------------------------------------
 # Whole-sequence fused sampling: the ENTIRE autoregressive generation loop
 # (N frames x K reversed steps) as one kernel

@@ -41,6 +41,7 @@ class StreamingGenerator:
             from lets_face_it_tpu.ops import pallas_flow
 
             use_fused = (pallas_flow.pallas_supported(spec)
+                         and pallas_flow.frame_fused_batch_ok(b)
                          and jax.default_backend() == "tpu")
         self._fused_weights = None
         if use_fused:
