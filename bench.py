@@ -451,10 +451,10 @@ def bench_streaming_capacity(hp, spec, params, fps: float = REALTIME_FPS,
         try:
             per_frame_ms, path = measure(None), "auto"
         except Exception as exc:
-            # very large B can exceed the fused frame kernel's scoped VMEM
-            # (all 16 GRU states resident for the whole batch — measured:
-            # b1024 wants 21.6M of the 16M budget); the XLA step path
-            # serves any batch at ~dispatch-bound cost
+            # the fused path serves any batch (one 512-row kernel call per
+            # segment, frame_rev_fused_chunked — measured 2.3x XLA at b1024,
+            # 1.07x at b4096, tools/chunked_frame_probe.py); keep the XLA
+            # step as a safety net for configs outside the kernel envelope
             print(f"capacity b={b}: fused path failed "
                   f"({type(exc).__name__}); retrying on the XLA step",
                   file=sys.stderr)

@@ -239,20 +239,15 @@ def sequence_sample(spec: FlowSpec, params: SeqGlowParams, data, seq_len: int,
     else:
         zs = z_seq
 
-    auto_fused = use_fused is None
-    frame_path_ok = False
-    if auto_fused:
+    if use_fused is None:
         from lets_face_it_tpu.ops import pallas_flow
 
-        # single-chip only, as for the training kernels (no GSPMD rule)
-        frame_path_ok = (pallas_flow.pallas_supported(spec)
-                         and jax.default_backend() == "tpu"
-                         and jax.device_count() == 1)
-        # the PER-FRAME kernel additionally keeps its whole batch on the
-        # VMEM stack (pallas_flow.FRAME_FUSED_MAX_BATCH); the whole-sequence
-        # kernel below tiles rows and has no such bound, so its gate uses
-        # frame_path_ok, not this
-        use_fused = frame_path_ok and pallas_flow.frame_fused_batch_ok(b)
+        # single-chip only, as for the training kernels (no GSPMD rule);
+        # any batch size — beyond FRAME_FUSED_MAX_BATCH the scan body runs
+        # the kernel per 512-row segment (frame_rev_fused_chunked)
+        use_fused = (pallas_flow.pallas_supported(spec)
+                     and jax.default_backend() == "tpu"
+                     and jax.device_count() == 1)
     fused_weights = None
     if use_fused:
         from lets_face_it_tpu.ops import pallas_flow
@@ -264,8 +259,7 @@ def sequence_sample(spec: FlowSpec, params: SeqGlowParams, data, seq_len: int,
 
         n_shards = mesh.devices.size if mesh is not None else 1
         b_local = b // n_shards if b % n_shards == 0 else 0
-        base = frame_path_ok if auto_fused else bool(use_fused)
-        use_seq_fused = (base
+        use_seq_fused = (bool(use_fused)
                          and pallas_flow.sampling_seq_supported(spec)
                          and b_local > 0
                          and (b_local <= 128 or b_local % 128 == 0))
@@ -321,7 +315,7 @@ def sequence_sample(spec: FlowSpec, params: SeqGlowParams, data, seq_len: int,
         if fused_weights is not None:
             from lets_face_it_tpu.ops import pallas_flow
 
-            x_t, states = pallas_flow.frame_rev_fused(
+            x_t, states = pallas_flow.frame_rev_fused_chunked(
                 spec, fused_weights, z_t, proj_t, states)
             logdet = jnp.zeros(z_t.shape[:-1], z_t.dtype)
         else:

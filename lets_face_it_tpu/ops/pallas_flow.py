@@ -118,6 +118,15 @@ def prepare_sampling_weights(spec: FlowSpec, flow_params) -> SamplingWeights:
     )
 
 
+# Mosaic's default scoped-VMEM budget is 16 MB; the per-frame kernel keeps
+# the [K, B, cond] conditioning projections, all K GRU states and its batch-
+# wide temporaries on that stack, which OOMs at 512 rows (18.29 MB measured,
+# tools/chunked_frame_probe.py). Raise the cap to 48 MiB like the training
+# and whole-sequence kernels (v5e has 128 MiB physical VMEM) so 512-row
+# calls — the FRAME_FUSED_MAX_BATCH envelope — fit in ONE call.
+_FRAME_VMEM_LIMIT = 48 * 1024 * 1024
+
+
 def _kernel(spec: FlowSpec, precision,
             z_ref, cond_ref, states_ref,            # VMEM inputs
             w_ih_hbm,                               # HBM (streamed)
@@ -227,6 +236,8 @@ def frame_rev_fused(spec: FlowSpec, weights: SamplingWeights, z, cond_projs,
             pltpu.VMEM((2,) + weights.w_ih_t.shape[1:], jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_FRAME_VMEM_LIMIT),
         interpret=interpret,
     )(z, cond_projs, states, weights.w_ih_t, weights.w_hh_t, weights.b_ih,
       weights.b_hh, weights.out_w_t, weights.out_b, weights.w_inv,
@@ -246,19 +257,46 @@ def pallas_supported(spec: FlowSpec) -> bool:
             and spec.cond.cond_dim % 128 == 0)
 
 
-# The per-frame kernel has no batch grid: all K GRU states plus the working
-# tiles live on the VMEM stack for the WHOLE batch. Measured on the final
-# model (round 5): b1024 asks for 21.59 MB of scoped VMEM against Mosaic's
-# 16 MB budget (~21.6 KB/row), a compile-time error. 512 rows (~11 MB) is
-# the largest power-of-two inside the envelope; bigger batches auto-fall
-# back to the XLA step path, which serves b1024-8192 at 2.6-20 ms/frame
-# (bench.py capacity ladder) — still far inside the 40 ms 25-fps budget.
+# The per-frame kernel has no batch grid: all K GRU states, the [K, B, cond]
+# conditioning projections and the working tiles live on the VMEM stack for
+# the WHOLE batch. Envelope measured compiled on the v5e (round 5,
+# tools/chunked_frame_probe.py --envelope): under Mosaic's DEFAULT 16 MB
+# scoped-VMEM budget 512 rows already OOM (18.29 MB); with the cap raised
+# to _FRAME_VMEM_LIMIT (48 MiB, like the training kernels) 512 rows compile
+# and run, while b1024+ crashes the Mosaic compiler outright (tpu_compile
+# helper abort — not a clean OOM message). Larger batches go through
+# ``frame_rev_fused_chunked`` (one kernel call per 512-row segment inside
+# the same jit).
 FRAME_FUSED_MAX_BATCH = 512
 
 
 def frame_fused_batch_ok(batch_size: int) -> bool:
-    """Whether the per-frame fused kernel's VMEM stack fits this batch."""
+    """Whether ONE per-frame kernel call's VMEM stack fits this batch
+    (larger batches are served by the chunked wrapper)."""
     return batch_size <= FRAME_FUSED_MAX_BATCH
+
+
+def frame_rev_fused_chunked(spec: FlowSpec, weights: SamplingWeights, z,
+                            cond_projs, states, *, interpret: bool = False,
+                            precision=None,
+                            chunk: int = FRAME_FUSED_MAX_BATCH):
+    """``frame_rev_fused`` for any batch size: rows are processed in
+    ``chunk``-row segments, one kernel call each, inside the same compiled
+    step (static Python loop — batch sizes are compile-time constants).
+    Values are identical to the unchunked kernel on each segment: the batch
+    rows of z/cond_projs/states are independent."""
+    b = z.shape[0]
+    if b <= chunk:
+        return frame_rev_fused(spec, weights, z, cond_projs, states,
+                               interpret=interpret, precision=precision)
+    xs, sts = [], []
+    for i in range(0, b, chunk):
+        x_i, st_i = frame_rev_fused(
+            spec, weights, z[i:i + chunk], cond_projs[:, i:i + chunk],
+            states[:, i:i + chunk], interpret=interpret, precision=precision)
+        xs.append(x_i)
+        sts.append(st_i)
+    return jnp.concatenate(xs, axis=0), jnp.concatenate(sts, axis=1)
 
 
 # ---------------------------------------------------------------------------

@@ -40,8 +40,9 @@ class StreamingGenerator:
         if use_fused is None:
             from lets_face_it_tpu.ops import pallas_flow
 
+            # any batch size: beyond FRAME_FUSED_MAX_BATCH the step runs
+            # the kernel per 512-row segment (frame_rev_fused_chunked)
             use_fused = (pallas_flow.pallas_supported(spec)
-                         and pallas_flow.frame_fused_batch_ok(b)
                          and jax.default_backend() == "tpu")
         self._fused_weights = None
         if use_fused:
@@ -102,7 +103,7 @@ class StreamingGenerator:
                 from lets_face_it_tpu.ops import pallas_flow
 
                 proj = flow._project_cond(params.flow, cond_t)
-                x_t, states = pallas_flow.frame_rev_fused(
+                x_t, states = pallas_flow.frame_rev_fused_chunked(
                     spec, fused_weights, z, proj, states)
             else:
                 x_t, _, states = flow.frame_rev(spec, params.flow, z, cond_t,

@@ -55,6 +55,40 @@ def test_fused_frame_rev_matches_xla():
                                atol=1e-5)
 
 
+def test_fused_frame_rev_chunked_matches_unchunked():
+    """Large-batch serving path: the segment-chunked wrapper must reproduce
+    the single-call kernel — including a ragged tail segment. Equality is
+    float-tolerance, not bitwise: a different row count changes matmul lane
+    padding and with it f32 rounding."""
+    spec = _final_like_spec()
+    params = init_seqglow(jax.random.PRNGKey(0), spec)
+    mask = flow.trainable_mask(params.flow)
+    pflow = jax.tree.map(
+        lambda x, m: x + 0.05 * jax.random.normal(jax.random.PRNGKey(9), x.shape)
+        if m else x, params.flow, mask)
+
+    b = 5                                     # chunk=2 -> segments 2, 2, 1
+    z = jax.random.normal(jax.random.PRNGKey(1), (b, spec.channels))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (b, spec.cond.feature_dim))
+    states = jax.random.normal(
+        jax.random.PRNGKey(3), (spec.n_steps, b, spec.hidden_channels)) * 0.1
+    weights = pallas_flow.prepare_sampling_weights(spec, pflow)
+    cond_projs = flow._project_cond(pflow, cond)
+
+    x_one, st_one = pallas_flow.frame_rev_fused(
+        spec, weights, z, cond_projs, states, interpret=True)
+    x_chk, st_chk = pallas_flow.frame_rev_fused_chunked(
+        spec, weights, z, cond_projs, states, interpret=True, chunk=2)
+    np.testing.assert_allclose(np.asarray(x_chk), np.asarray(x_one),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_chk), np.asarray(st_one),
+                               atol=1e-6)
+    # at-or-below the chunk size it's the single-call path verbatim
+    x_same, _ = pallas_flow.frame_rev_fused_chunked(
+        spec, weights, z, cond_projs, states, interpret=True, chunk=8)
+    np.testing.assert_array_equal(np.asarray(x_same), np.asarray(x_one))
+
+
 def test_fused_roundtrip_forward_reverse():
     spec = _final_like_spec()
     params = init_seqglow(jax.random.PRNGKey(4), spec)
