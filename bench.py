@@ -426,10 +426,15 @@ def bench_streaming_capacity(hp, spec, params, fps: float = REALTIME_FPS,
                  rng.standard_normal((b, s)).astype(np.float32))}
             for _ in range(8)
         ]
+        used_path = {}
+
         def measure(use_fused):
             gen = StreamingGenerator(spec, params, batch_size=b,
                                      eps_std=float(hp.Infer["eps"]),
                                      use_fused=use_fused)
+            # record what the auto gate actually picked (past
+            # FRAME_FUSED_MAX_SEGMENTS segments it serves on the XLA step)
+            used_path["fused"] = gen._fused_weights is not None
             _hard_sync(gen.push(**frames_dev[0]))      # compile + drain
 
             def chained(m):
@@ -449,7 +454,8 @@ def bench_streaming_capacity(hp, spec, params, fps: float = REALTIME_FPS,
             return sorted(diffs)[1]
 
         try:
-            per_frame_ms, path = measure(None), "auto"
+            per_frame_ms = measure(None)
+            path = "auto(fused)" if used_path.get("fused") else "auto(xla)"
         except Exception as exc:
             # the fused path serves any batch (one 512-row kernel call per
             # segment, frame_rev_fused_chunked — measured 2.3x XLA at b1024,

@@ -243,9 +243,11 @@ def sequence_sample(spec: FlowSpec, params: SeqGlowParams, data, seq_len: int,
         from lets_face_it_tpu.ops import pallas_flow
 
         # single-chip only, as for the training kernels (no GSPMD rule);
-        # any batch size — beyond FRAME_FUSED_MAX_BATCH the scan body runs
-        # the kernel per 512-row segment (frame_rev_fused_chunked)
+        # beyond FRAME_FUSED_MAX_BATCH the scan body runs the kernel per
+        # 512-row segment (frame_rev_fused_chunked), auto up to
+        # FRAME_FUSED_MAX_SEGMENTS segments (measured crossover vs XLA)
         use_fused = (pallas_flow.pallas_supported(spec)
+                     and pallas_flow.frame_fused_auto_ok(b)
                      and jax.default_backend() == "tpu"
                      and jax.device_count() == 1)
     fused_weights = None

@@ -276,6 +276,24 @@ def frame_fused_batch_ok(batch_size: int) -> bool:
     return batch_size <= FRAME_FUSED_MAX_BATCH
 
 
+# Each 512-row segment re-streams all K GRU input weights HBM->VMEM
+# (~13 MB/call on the final model), so the chunked kernel's lead over the
+# XLA step shrinks as segments multiply — measured chained ms/frame on the
+# v5e (tools/chunked_frame_probe.py): 2.26x at 2 segments (b1024), 1.07x at
+# 8 (b4096); the trend crosses 1x around 16 segments, where the 16-call jit
+# also pays a very long Mosaic compile. The AUTO gates therefore stop
+# picking the fused path past 8 segments; explicit use_fused=True is
+# unrestricted.
+FRAME_FUSED_MAX_SEGMENTS = 8
+
+
+def frame_fused_auto_ok(batch_size: int) -> bool:
+    """Whether the auto-gates should serve this batch through the fused
+    per-frame kernel (single call or <=FRAME_FUSED_MAX_SEGMENTS chunked
+    segments) rather than the XLA step."""
+    return batch_size <= FRAME_FUSED_MAX_BATCH * FRAME_FUSED_MAX_SEGMENTS
+
+
 def frame_rev_fused_chunked(spec: FlowSpec, weights: SamplingWeights, z,
                             cond_projs, states, *, interpret: bool = False,
                             precision=None,

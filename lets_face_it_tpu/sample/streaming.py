@@ -40,9 +40,11 @@ class StreamingGenerator:
         if use_fused is None:
             from lets_face_it_tpu.ops import pallas_flow
 
-            # any batch size: beyond FRAME_FUSED_MAX_BATCH the step runs
-            # the kernel per 512-row segment (frame_rev_fused_chunked)
+            # beyond FRAME_FUSED_MAX_BATCH the step runs the kernel per
+            # 512-row segment (frame_rev_fused_chunked), worth it up to
+            # FRAME_FUSED_MAX_SEGMENTS segments (measured crossover)
             use_fused = (pallas_flow.pallas_supported(spec)
+                         and pallas_flow.frame_fused_auto_ok(b)
                          and jax.default_backend() == "tpu")
         self._fused_weights = None
         if use_fused:
