@@ -318,7 +318,8 @@ def sequence_sample(spec: FlowSpec, params: SeqGlowParams, data, seq_len: int,
             from lets_face_it_tpu.ops import pallas_flow
 
             x_t, states = pallas_flow.frame_rev_fused_chunked(
-                spec, fused_weights, z_t, proj_t, states)
+                spec, fused_weights, z_t, proj_t, states,
+                interpret=pallas_flow.INTERPRET)
             logdet = jnp.zeros(z_t.shape[:-1], z_t.dtype)
         else:
             x_t, logdet, states = flow.frame_rev(spec, params.flow, z_t, None,

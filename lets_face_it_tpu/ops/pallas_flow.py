@@ -296,13 +296,15 @@ def frame_fused_auto_ok(batch_size: int) -> bool:
 
 def frame_rev_fused_chunked(spec: FlowSpec, weights: SamplingWeights, z,
                             cond_projs, states, *, interpret: bool = False,
-                            precision=None,
-                            chunk: int = FRAME_FUSED_MAX_BATCH):
+                            precision=None, chunk: int | None = None):
     """``frame_rev_fused`` for any batch size: rows are processed in
-    ``chunk``-row segments, one kernel call each, inside the same compiled
-    step (static Python loop — batch sizes are compile-time constants).
-    Values are identical to the unchunked kernel on each segment: the batch
-    rows of z/cond_projs/states are independent."""
+    ``chunk``-row segments (default FRAME_FUSED_MAX_BATCH, resolved at call
+    time so tests can shrink it), one kernel call each, inside the same
+    compiled step (static Python loop — batch sizes are compile-time
+    constants). Values are identical to the unchunked kernel on each
+    segment: the batch rows of z/cond_projs/states are independent."""
+    if chunk is None:
+        chunk = FRAME_FUSED_MAX_BATCH
     b = z.shape[0]
     if b <= chunk:
         return frame_rev_fused(spec, weights, z, cond_projs, states,

@@ -106,7 +106,8 @@ class StreamingGenerator:
 
                 proj = flow._project_cond(params.flow, cond_t)
                 x_t, states = pallas_flow.frame_rev_fused_chunked(
-                    spec, fused_weights, z, proj, states)
+                    spec, fused_weights, z, proj, states,
+                    interpret=pallas_flow.INTERPRET)
             else:
                 x_t, _, states = flow.frame_rev(spec, params.flow, z, cond_t,
                                                 states)

@@ -220,3 +220,37 @@ def test_streaming_reset():
     # state cleared: the face history is zeroed again
     assert float(np.abs(np.asarray(gen.face_hist)).max()) == 0.0
     assert np.isfinite(first).all()
+
+
+def test_streaming_fused_step_matches_xla(monkeypatch):
+    """The fused serving step (interpret mode) through the REAL push path —
+    window rolls + encoders + flow inversion — must match the XLA step,
+    including when the batch spans multiple kernel segments
+    (frame_rev_fused_chunked; FRAME_FUSED_MAX_BATCH shrunk to force 2+1
+    chunking at b=3). Same seed => identical z stream on both paths."""
+    from lets_face_it_tpu.ops import pallas_flow
+
+    hp = tiny_hparams()
+    spec = FlowSpec.build(hp)
+    params = init_seqglow(jax.random.PRNGKey(0), spec)
+
+    b = 3
+    rng = np.random.default_rng(3)
+    c, s = spec.channels, hp.Data["speech_dim"]
+    frames = [
+        {"p2_face": rng.standard_normal((b, c)).astype(np.float32),
+         "p1_speech": rng.standard_normal((b, s)).astype(np.float32),
+         "p2_speech": rng.standard_normal((b, s)).astype(np.float32)}
+        for _ in range(4)
+    ]
+
+    def run(use_fused):
+        gen = StreamingGenerator(spec, params, batch_size=b, eps_std=1.0,
+                                 seed=5, use_fused=use_fused)
+        return np.stack([np.asarray(gen.push(**f)) for f in frames], axis=1)
+
+    ref = run(False)
+    monkeypatch.setattr(pallas_flow, "FRAME_FUSED_MAX_BATCH", 2)
+    monkeypatch.setattr(pallas_flow, "INTERPRET", True)
+    got = run(True)
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
