@@ -105,6 +105,26 @@ def test_fused_roundtrip_forward_reverse():
     np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-4)
 
 
+def test_frame_fused_gate_boundaries(monkeypatch):
+    """The serving auto-gate's envelope arithmetic: one kernel call fits
+    <= FRAME_FUSED_MAX_BATCH rows (the measured 48 MiB VMEM-stack envelope);
+    the AUTO gates accept up to MAX_BATCH * MAX_SEGMENTS rows via the
+    chunked wrapper and refuse beyond (the measured fused-vs-XLA crossover,
+    docs/PERF.md)."""
+    cap = pallas_flow.FRAME_FUSED_MAX_BATCH
+    segs = pallas_flow.FRAME_FUSED_MAX_SEGMENTS
+    assert pallas_flow.frame_fused_batch_ok(cap)
+    assert not pallas_flow.frame_fused_batch_ok(cap + 1)
+    assert pallas_flow.frame_fused_auto_ok(cap * segs)
+    assert not pallas_flow.frame_fused_auto_ok(cap * segs + 1)
+    # the gates read the module constants at call time, so tests can shrink
+    # the envelope to drive chunking on CPU
+    monkeypatch.setattr(pallas_flow, "FRAME_FUSED_MAX_BATCH", 2)
+    monkeypatch.setattr(pallas_flow, "FRAME_FUSED_MAX_SEGMENTS", 2)
+    assert pallas_flow.frame_fused_auto_ok(4)
+    assert not pallas_flow.frame_fused_auto_ok(5)
+
+
 def test_seq_fused_sampling_matches_xla():
     """The whole-sequence sampling kernel (ring buffer + GRU states in VMEM
     scratch) generates the same frames as the XLA autoregressive scan."""

@@ -254,3 +254,36 @@ def test_streaming_fused_step_matches_xla(monkeypatch):
     monkeypatch.setattr(pallas_flow, "INTERPRET", True)
     got = run(True)
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_streaming_auto_gate_resolution(monkeypatch):
+    """use_fused=None resolves from (kernel envelope, batch, backend): never
+    fused on CPU; on a TPU backend, fused up to the chunked-gate cap
+    (FRAME_FUSED_MAX_BATCH * FRAME_FUSED_MAX_SEGMENTS rows) and the XLA
+    step beyond — the measured crossover (docs/PERF.md)."""
+    from lets_face_it_tpu.ops import pallas_flow
+
+    hp = tiny_hparams()
+    spec = FlowSpec.build(hp)
+    params = init_seqglow(jax.random.PRNGKey(0), spec)
+
+    # real backend here is CPU: auto must refuse even an in-envelope batch
+    monkeypatch.setattr(pallas_flow, "pallas_supported", lambda s: True)
+    gen = StreamingGenerator(spec, params, batch_size=1)
+    assert gen._fused_weights is None
+
+    # fake a TPU backend; shrink the envelope so the boundary is testable
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(pallas_flow, "FRAME_FUSED_MAX_BATCH", 2)
+    monkeypatch.setattr(pallas_flow, "FRAME_FUSED_MAX_SEGMENTS", 2)
+    gen = StreamingGenerator(spec, params, batch_size=4)
+    assert gen._fused_weights is not None
+    gen = StreamingGenerator(spec, params, batch_size=5)
+    assert gen._fused_weights is None
+
+    # the tiny spec is actually outside the Mosaic envelope: with the real
+    # support check the gate refuses regardless of backend/batch
+    monkeypatch.undo()
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    gen = StreamingGenerator(spec, params, batch_size=1)
+    assert gen._fused_weights is None
